@@ -7,10 +7,23 @@ Must run before the first ``import jax`` anywhere in the test session.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session environment pins JAX_PLATFORMS=axon (the real TPU tunnel, single
+# client). Tests must never touch it: hard-force CPU before jax is imported.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# torch (CPU, used as parity oracle) must be imported before jax does real
+# work: the reverse order deadlocks on this image's OpenMP runtimes.
+import torch  # noqa: E402,F401
+
+# The axon sitecustomize registers the TPU backend and overrides JAX_PLATFORMS
+# via the config API, so the env var alone is not enough — override it back
+# before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
