@@ -1,0 +1,278 @@
+"""HWGATE — Hierarchical Windowed Graph Attention Transformer Encoder (flagship).
+
+TPU-native re-design of reference `hwgat/models/HWGATE.py:8-360`:
+
+- window partition/reverse are pure layout maps (`ops/window.py`);
+- the adjacency-masked MSA runs through the stacked-supertile path
+  (`ops/attention.py`): (window, head) units of 32 tokens × head_dim 64 are
+  packed 4-at-a-time into 128-row supertiles so both attention matmuls are
+  MXU-shaped;
+- the reference's shifted-window mask (`HWGATE.py:169-187`) is all-ones for
+  every temporal group except the last, where it blocks attention between
+  wrapped and non-wrapped frames (Swin semantics, multiplicative {1,0}).
+  Instead of carrying an (f·nW, N, N) mask tensor, shifted blocks split the
+  groups into [0, f-1) ("main", plain adjacency) and the last group ("tail",
+  adjacency ∧ shift mask) and run the stacked kernel twice — static shapes,
+  identical numerics;
+- the train-time random attention pruning (`HWGATE.py:94-100`) draws one
+  uniform scalar per MSA call from the ``prune`` RNG stream;
+- zero-score quirk (`HWGATE.py:110`) is always on to match training numerics.
+
+Default hyperparameters follow ``HWGATEParams`` (`models/model_params.py:243-259`):
+embed 128, TP=2, depths (2,2,4), heads (2,4,8), window 16, ff_ratio 2.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sl_hwgat_tpu.graphs.adjacency import windowed_block_adj
+from sl_hwgat_tpu.models.common import (
+    DENSE_INIT,
+    FeedForward,
+    FourierEmbed,
+    PositionalEncoding,
+    layer_norm,
+)
+from sl_hwgat_tpu.ops.attention import stacked_window_attention
+from sl_hwgat_tpu.ops.window import window_partition, window_reverse, temporal_merge
+
+
+def _supertile_stack(tokens: int) -> tuple[int, int | None]:
+    """Choose (stack, pad_tokens) so stack·pad ≈ 128 MXU rows."""
+    if tokens >= 128:
+        return 1, None
+    pad = tokens
+    if tokens % 8 != 0:
+        pad = ((tokens + 7) // 8) * 8
+    stack = max(1, 128 // pad)
+    return stack, (pad if pad != tokens else None)
+
+
+def shift_tail_mask(tokens_per_frame: int, temporal_patch: int, shift: int) -> "np.ndarray":
+    """Shift mask for the LAST temporal group of a shifted block.
+
+    Tokens are ordered (frame-in-patch, joint); the first
+    ``(TP-shift)·tokens_per_frame`` rows hold ordinary frames, the rest hold
+    wrapped frames, and cross attention between the two segments is blocked.
+    ≡ `HWGATE.py:169-183` / `HGATE.py:156-171` evaluated at the last group.
+    """
+    import numpy as np
+
+    n = temporal_patch * tokens_per_frame
+    split = (temporal_patch - shift) * tokens_per_frame
+    m = np.zeros((n, n), dtype=np.float32)
+    m[:split, :split] = 1.0
+    m[split:, split:] = 1.0
+    return m
+
+
+class WindowedMSA(nn.Module):
+    """Multi-head self-attention over token windows with a shared
+    multiplicative adjacency mask. ≡ `HWGATE.py:65-118` (prune=True) and
+    `HGATE.py:65-108` (prune=False).
+
+    ``groups_per_clip``: number of window groups per batch element, laid out
+    (f, nW); when ``tail_shift_mask`` is set, the groups of the last temporal
+    index additionally apply it (shifted-block Swin masking).
+    """
+
+    dim: int
+    num_heads: int
+    adj: tuple  # hashable static (N, N) {0,1} mask (tuple of tuples)
+    windows_per_frame: int = 4
+    temporal_groups: int = 1  # f = frames // temporal_patch at this stage
+    prune: bool = False
+    tail_shift_mask: tuple | None = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g, n, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        scale = dh**-0.5
+
+        qkv = nn.Dense(3 * d, kernel_init=DENSE_INIT, name="qkv")(x)
+        qkv = qkv.reshape(g, n, 3, h, dh).transpose(2, 0, 3, 1, 4)  # (3, G, H, N, dh)
+        q, k, v = (t.reshape(g * h, n, dh) for t in (qkv[0], qkv[1], qkv[2]))
+
+        prune_u = None
+        if self.prune and train:
+            # One uniform scalar per MSA call, shared across the batch
+            # (reference: torch.rand(1), `HWGATE.py:96`).
+            import jax
+
+            prune_u = jax.random.uniform(self.make_rng("prune"), ())
+
+        stack, pad = _supertile_stack(n)
+        adj = jnp.asarray(self.adj, dtype=jnp.float32)
+
+        def attend(qu, ku, vu, mask):
+            return stacked_window_attention(
+                qu, ku, vu, mask, scale=scale, stack=stack, pad_tokens=pad,
+                prune_u=prune_u,
+            )
+
+        if self.tail_shift_mask is None:
+            out = attend(q, k, v, adj)
+        else:
+            # Split units by temporal group: [0, f-1) use the plain adjacency,
+            # the last group also applies the shift mask.
+            nw = self.windows_per_frame
+            u = g * h
+            per_f = nw * h
+            f = self.temporal_groups
+
+            # Unit order is (b, f, nW, h): window_partition flattens (b, f, nW)
+            # major→minor and heads were appended after the group index.
+            def split(t):
+                t = t.reshape(-1, f, per_f, n, dh)
+                return t[:, : f - 1].reshape(-1, n, dh), t[:, f - 1 :].reshape(-1, n, dh)
+
+            (qm, qt), (km, kt), (vm, vt) = split(q), split(k), split(v)
+            tail_adj = adj * jnp.asarray(self.tail_shift_mask, dtype=jnp.float32)
+            parts = []
+            if f > 1:
+                parts.append(attend(qm, km, vm, adj).reshape(-1, f - 1, per_f, n, dh))
+            parts.append(attend(qt, kt, vt, tail_adj).reshape(-1, 1, per_f, n, dh))
+            out = jnp.concatenate(parts, axis=1).reshape(u, n, dh)
+
+        out = out.reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)
+        out = nn.Dense(d, kernel_init=DENSE_INIT, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+
+class PartAttentionBlock(nn.Module):
+    """LN → windowed MSA (with optional temporal roll) → residual → FFN.
+    ≡ `HWGATE.py:138-221`."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    temporal_patch: int
+    shift_size: int
+    adj: tuple
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    ff_ratio: float = 2.0
+    prune: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, f_total, k, d = x.shape
+        shortcut = x
+        if self.shift_size > 0:
+            x = jnp.roll(x, -self.shift_size, axis=1)
+        xw = window_partition(x, self.window_size, self.temporal_patch)
+        xw = layer_norm("norm1")(xw)
+        tail_mask = None
+        if self.shift_size > 0:
+            tail_mask = tuple(
+                map(tuple, shift_tail_mask(self.window_size, self.temporal_patch, self.shift_size).tolist())
+            )
+        xw = WindowedMSA(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            adj=self.adj,
+            windows_per_frame=k // self.window_size,
+            temporal_groups=f_total // self.temporal_patch,
+            prune=self.prune,
+            tail_shift_mask=tail_mask,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            name="attn",
+        )(xw, train=train)
+        x = window_reverse(xw, self.window_size, self.temporal_patch, f_total, k)
+        if self.shift_size > 0:
+            x = jnp.roll(x, self.shift_size, axis=1)
+        x = shortcut + x
+        x = x + FeedForward(
+            hidden=int(self.dim * self.ff_ratio), out=self.dim, drop_rate=self.drop, name="ff"
+        )(layer_norm("norm2")(x), train=train)
+        return x
+
+
+class HWGATE(nn.Module):
+    """Flagship hierarchical windowed graph-attention classifier.
+
+    Input (B, F, K=64, C) → logits (B, num_classes).
+    """
+
+    kp_dim: int = 2
+    num_kps: int = 64
+    temporal_dim: int = 192
+    num_classes: int = 2002
+    embed_dim: int = 128
+    temporal_patch: int = 2
+    pe: bool = True
+    depths: Sequence[int] = (2, 2, 4)
+    num_heads: Sequence[int] = (2, 4, 8)
+    window_size: int = 16
+    drop_rate: float = 0.1
+    attn_drop_rate: float = 0.0
+    ff_ratio: float = 2.0
+    prune_attn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        num_layers = len(self.depths)
+        # Identical topology across the 4 windows (model_params.py:261-369):
+        # one (TP·W, TP·W) mask serves every (window, head) unit.
+        adj = tuple(
+            map(tuple, windowed_block_adj(self.temporal_patch, self.window_size, 1)[0].tolist())
+        )
+
+        x = FourierEmbed(self.embed_dim, self.kp_dim, name="fourier")(x)
+        if self.pe:
+            x = PositionalEncoding(
+                self.embed_dim, self.temporal_dim, self.drop_rate, name="pos_encoder"
+            )(x, train=train)
+
+        for i in range(num_layers):
+            dim = int(self.embed_dim * 2**i)
+            for j in range(self.depths[i]):
+                x = PartAttentionBlock(
+                    dim=dim,
+                    num_heads=self.num_heads[i],
+                    window_size=self.window_size,
+                    temporal_patch=self.temporal_patch,
+                    shift_size=0 if j % 2 == 0 else self.temporal_patch // 2,
+                    adj=adj,
+                    drop=self.drop_rate,
+                    attn_drop=self.attn_drop_rate,
+                    ff_ratio=self.ff_ratio,
+                    prune=self.prune_attn,
+                    name=f"layers_{i}_blocks_{j}",
+                )(x, train=train)
+            if i < num_layers - 1:
+                x = temporal_merge(x, self.temporal_patch)
+
+        x = layer_norm("norm")(x)
+        x = jnp.mean(x, axis=(1, 2))  # AvgPool1d over f·K tokens, `HWGATE.py:328,354`
+        return nn.Dense(self.num_classes, kernel_init=DENSE_INIT, name="head")(x)
+
+
+def hwgate_from_dataset(dataset_params: dict, input_dim: int, **overrides) -> HWGATE:
+    """≡ ``HWGATEParams`` defaults (`model_params.py:243-259`)."""
+    kw = dict(
+        kp_dim=input_dim,
+        num_kps=64,
+        temporal_dim=dataset_params["src_len"],
+        num_classes=dataset_params["num_class"],
+        embed_dim=128,
+        temporal_patch=2,
+        pe=True,
+        depths=(2, 2, 4),
+        num_heads=(2, 4, 8),
+        window_size=16,
+        drop_rate=0.1,
+        attn_drop_rate=0.0,
+        ff_ratio=2.0,
+    )
+    kw.update(overrides)
+    return HWGATE(**kw)

@@ -1,0 +1,86 @@
+"""Full-model parity: our Flax HWGATE vs the reference torch HWGATE with
+identical weights (BASELINE.md north-star acceptance: activations allclose)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import import_reference
+
+import jax
+import jax.numpy as jnp
+
+from sl_hwgat_tpu.models.hwgate import HWGATE
+from sl_hwgat_tpu.train.torch_import import hwgate_from_torch
+
+DS = {"num_class": 5, "src_len": 16}
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    torch = pytest.importorskip("torch")
+    params_mod = import_reference("models.model_params")
+    hw = import_reference("models.HWGATE")
+    torch.manual_seed(0)
+    p = params_mod.HWGATEParams(DS, 2, device=None)
+    model = hw.Model(*p.get_model_params())
+    model.eval()
+    return model
+
+
+def test_forward_parity_eval(ref_model):
+    import torch
+
+    x = np.random.default_rng(0).normal(size=(2, 16, 64, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_model(torch.tensor(x)).numpy()
+
+    ours = HWGATE(
+        kp_dim=2, temporal_dim=DS["src_len"], num_classes=DS["num_class"],
+    )
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables = hwgate_from_torch(sd)
+    variables = jax.tree.map(jnp.asarray, variables)
+    got = ours.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
+
+
+def test_param_tree_covers_reference(ref_model):
+    """Every reference weight maps into our tree and our init has no extras."""
+    ours = HWGATE(kp_dim=2, temporal_dim=DS["src_len"], num_classes=DS["num_class"])
+    x = jnp.zeros((1, 16, 64, 2))
+    init_vars = ours.init(jax.random.PRNGKey(0), x, train=False)
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    imported = hwgate_from_torch(sd)
+
+    def paths(tree, prefix=()):
+        out = set()
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out |= paths(v, prefix + (k,))
+            else:
+                out.add(prefix + (k,))
+        return out
+
+    assert paths(imported["params"]) == paths(init_vars["params"])
+    assert paths(imported["buffers"]) == paths(init_vars["buffers"])
+    for col in ("params", "buffers"):
+        got_shapes = {p: None for p in paths(imported[col])}
+        for p in got_shapes:
+            a = imported[col]
+            b = init_vars[col]
+            for k in p:
+                a, b = a[k], b[k]
+            assert np.shape(a) == np.shape(b), (col, p, np.shape(a), np.shape(b))
+
+
+def test_train_mode_runs_with_prune_and_dropout():
+    ours = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 16, 64, 2)), jnp.float32)
+    variables = ours.init(jax.random.PRNGKey(0), x, train=False)
+    out = ours.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1), "prune": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (2, 5)
+    assert np.isfinite(np.asarray(out)).all()
