@@ -1,0 +1,157 @@
+"""WGATE — windowed graph attention WITHOUT hierarchy.
+
+Ablation model, reference `hwgat/models/WGATE.py:8-263`: 8 identical blocks at
+constant dim 128; each spatial window attends over ALL its frames (F·16
+tokens) under an additive block-tridiagonal mask (`model_params.py:210-229`).
+
+TPU mapping: the reference materializes the (F·16)² additive mask and scores
+(151 MB of mask alone at F=192). Here each frame attends only to its ±1 frame
+band via ``banded_frame_attention`` — f32-exact, 64× less score work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sl_hwgat_tpu.graphs.adjacency import additive_mask, window_adj
+from sl_hwgat_tpu.models.common import (
+    DENSE_INIT,
+    FeedForward,
+    FourierEmbed,
+    PositionalEncoding,
+    layer_norm,
+)
+from sl_hwgat_tpu.ops.attention import banded_frame_attention
+from sl_hwgat_tpu.ops.window import spatial_window_partition, spatial_window_reverse
+
+
+def _band(spatial_adj: np.ndarray) -> np.ndarray:
+    eye = np.eye(spatial_adj.shape[0], dtype=np.float32)
+    return np.stack([additive_mask(eye), additive_mask(spatial_adj), additive_mask(eye)])
+
+
+class BandedMSA(nn.Module):
+    """MSA over (G, F·V, D) tokens with a ±1-frame banded additive mask.
+    ≡ `WGATE.py:68-108` / `GATE.py:30-69` numerics."""
+
+    dim: int
+    num_heads: int
+    band: tuple  # static (3, V, V) additive masks [prev | self | next]
+    frames: int
+    tokens_per_frame: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g, n, d = x.shape
+        h, f, vtok = self.num_heads, self.frames, self.tokens_per_frame
+        dh = d // h
+        qkv = nn.Dense(3 * d, kernel_init=DENSE_INIT, name="qkv")(x)
+        qkv = qkv.reshape(g, f, vtok, 3, h, dh).transpose(3, 0, 4, 1, 2, 5)  # (3,G,H,F,V,dh)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = banded_frame_attention(q, k, v, jnp.asarray(self.band, jnp.float32), scale=dh**-0.5)
+        out = out.transpose(0, 2, 3, 1, 4).reshape(g, n, d)  # (G,F,V,H,dh) → (G,N,D)
+        out = nn.Dense(d, kernel_init=DENSE_INIT, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+
+class WPartAttentionBlock(nn.Module):
+    """Per-window full-clip attention block. ≡ `WGATE.py:128-162`."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    band: tuple
+    frames: int
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    ff_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, f, k, d = x.shape
+        shortcut = x
+        xw = spatial_window_partition(x, self.window_size)
+        xw = layer_norm("norm1")(xw)
+        xw = BandedMSA(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            band=self.band,
+            frames=f,
+            tokens_per_frame=self.window_size,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            name="attn",
+        )(xw, train=train)
+        x = shortcut + spatial_window_reverse(xw, self.window_size, f, k)
+        x = x + FeedForward(
+            hidden=int(self.dim * self.ff_ratio), out=self.dim, drop_rate=self.drop, name="ff"
+        )(layer_norm("norm2")(x), train=train)
+        return x
+
+
+class WGATE(nn.Module):
+    """Windowed (non-hierarchical) graph-attention classifier.
+    Input (B, F, K=64, C) → logits. Defaults ≡ ``WGATEParams``
+    (`model_params.py:80-96`)."""
+
+    kp_dim: int = 2
+    num_kps: int = 64
+    temporal_dim: int = 192
+    num_classes: int = 2002
+    embed_dim: int = 128
+    pe: bool = True
+    depths: int = 8
+    num_heads: int = 8
+    window_size: int = 16
+    drop_rate: float = 0.1
+    attn_drop_rate: float = 0.0
+    ff_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        band = tuple(
+            map(lambda a: tuple(map(tuple, a)), _band(window_adj(window_size=self.window_size)).tolist())
+        )
+        x = FourierEmbed(self.embed_dim, self.kp_dim, name="fourier")(x)
+        if self.pe:
+            x = PositionalEncoding(
+                self.embed_dim, self.temporal_dim, self.drop_rate, name="pos_encoder"
+            )(x, train=train)
+        for i in range(self.depths):
+            x = WPartAttentionBlock(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                band=band,
+                frames=self.temporal_dim,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                ff_ratio=self.ff_ratio,
+                name=f"layers_{i}",
+            )(x, train=train)
+        x = layer_norm("norm")(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, kernel_init=DENSE_INIT, name="head")(x)
+
+
+def wgate_from_dataset(dataset_params: dict, input_dim: int, **overrides) -> WGATE:
+    kw = dict(
+        kp_dim=input_dim,
+        num_kps=64,
+        temporal_dim=dataset_params["src_len"],
+        num_classes=dataset_params["num_class"],
+        embed_dim=128,
+        pe=True,
+        depths=8,
+        num_heads=8,
+        window_size=16,
+        drop_rate=0.1,
+        attn_drop_rate=0.0,
+        ff_ratio=2.0,
+    )
+    kw.update(overrides)
+    return WGATE(**kw)
