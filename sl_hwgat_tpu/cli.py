@@ -1,0 +1,148 @@
+"""CLI entry — reference-compatible flags.
+
+≡ reference `hwgat/main.py:7-85`:
+``python -m sl_hwgat_tpu.cli -m {train|test|load} -d <dataset> --model <name>
+[-t time] [-px postfix] [-mw weights] [-k topk] [-ft feature_type]``
+
+Modes: ``train`` fresh run; ``load`` resume (or transfer when ``-mw`` is
+given); ``test`` evaluation only. Every mode finishes with the final top-k
+table and confusion CSV (`main.py:74-85`).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-d", "--dataset", type=str, required=True)
+    p.add_argument("-m", "--mode", type=str, default="test", help="train, test, load")
+    p.add_argument("-t", "--time", type=str, default="none")
+    p.add_argument("-px", "--postfix", type=str, default="none")
+    p.add_argument("-model", "--model", type=str, required=True)
+    p.add_argument("-c", "--device", type=str, default="0", help="accepted for CLI parity; device choice is JAX-managed")
+    p.add_argument("-ft", "--feature_type", type=str, default="keypoints")
+    p.add_argument("-mw", "--model_weights", type=str, default="none")
+    p.add_argument("-k", "--topk", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=None, help="override epoch count")
+    p.add_argument("--batch-size", type=int, default=None)
+    return p.parse_args()
+
+
+def run(cfg, progress=True):
+    """Full train/test flow for a RunConfig. Returns final results dict."""
+    import jax
+
+    from sl_hwgat_tpu.data.dataset import get_loaders
+    from sl_hwgat_tpu.models import MODEL_NUM_KPS, MODEL_RNG_STREAMS, build_model
+    from sl_hwgat_tpu.train import checkpoint as ckpt_lib
+    from sl_hwgat_tpu.train.loop import (
+        EarlyStopper,
+        evaluate,
+        init_state,
+        make_steps,
+        predictions_plus_true,
+        run_epochs,
+    )
+    from sl_hwgat_tpu.train.reporting import gen_cm_w, read_class_map, show_final_result
+    from sl_hwgat_tpu.train.state import make_optimizer
+
+    np.random.seed(cfg.seed)
+
+    model = build_model(cfg.model_type, cfg.dataset_params, cfg.input_dim, **cfg.overrides)
+    num_kps = MODEL_NUM_KPS[cfg.model_type]
+    rng_streams = MODEL_RNG_STREAMS[cfg.model_type]
+    has_bn = cfg.model_type in ("STGCN", "DecoupledGCN")
+
+    sample_shape = (cfg.src_len, num_kps, cfg.input_dim)
+    state, optimizer = init_state(model, cfg, sample_shape, rng_streams)
+    n_params = sum(np.prod(np.shape(p)) for p in jax.tree.leaves(state.variables["params"]))
+    print("total trainable params :", int(n_params))
+
+    train_step, eval_step = make_steps(
+        model, optimizer, cfg.criterion_type, rng_streams, mutable_stats=has_bn
+    )
+
+    if cfg.mode in ("train", "load"):
+        train_loader, val_loader, test_loader = get_loaders(
+            cfg, cfg.train_transform(), cfg.eval_transform()
+        )
+        cfg.ensure_out_folder()
+        ckpt_lib.save_experiment_snapshot(cfg)
+        if cfg.mode == "load":
+            if cfg.model_weights:
+                state = ckpt_lib.load_pretrained_into(state, cfg.model_weights, cfg.model_type)
+            else:
+                state = ckpt_lib.resume_from(state, f"{cfg.save_model_path}_{cfg.postfix}.ckpt")
+        stopper = EarlyStopper(cfg.early_stopping_step, 0) if cfg.early_stopping else None
+
+        def report(epoch, metrics):
+            if progress:
+                print(
+                    f"epoch {epoch:4d} | tr_ls {metrics['train_loss']:5.2f} "
+                    f"tr_ac {metrics['train_acc']:.4f} | v_ls {metrics['val_loss']:5.2f} "
+                    f"v_ac {metrics['val_acc']:.4f} | min_v_ls {metrics['best_val_loss']:.4f}"
+                )
+
+        state = run_epochs(
+            model, cfg, state, train_step, eval_step, train_loader, val_loader,
+            early_stopper=stopper, progress=report,
+        )
+
+    # final evaluation on the best checkpoint (≡ main.py:74-85)
+    cfg.mode = "test"
+    train_loader, val_loader, test_loader = get_loaders(
+        cfg, cfg.eval_transform(), cfg.eval_transform()
+    )
+    best = f"{cfg.save_model_path}_{cfg.postfix}.ckpt"
+    try:
+        state.variables = ckpt_lib.read_checkpoint(best)["variables"]
+    except FileNotFoundError:
+        if cfg.model_weights:
+            state = ckpt_lib.load_pretrained_into(state, cfg.model_weights, cfg.model_type)
+        else:
+            print(f"[cli] no checkpoint at {best}; evaluating current weights")
+    results = {
+        split: evaluate(eval_step, state, loader, k=cfg.topk)
+        for split, loader in (("train", train_loader), ("val", val_loader), ("test", test_loader))
+    }
+    show_final_result(results, cfg.topk)
+    try:
+        class_map = read_class_map(cfg.data.class_map_path)
+        y_pred, y_true = predictions_plus_true(eval_step, state, test_loader)
+        cfg.ensure_out_folder()
+        gen_cm_w(y_true, y_pred, class_map, cfg.save_cm_path)
+    except FileNotFoundError:
+        pass
+    return results, state
+
+
+def main():
+    from sl_hwgat_tpu.configs import RunConfig
+
+    args = parser()
+    cfg = RunConfig(
+        dataset=args.dataset,
+        model_type=args.model,
+        mode=args.mode,
+        feature_type=args.feature_type,
+        time=args.time,
+        postfix=args.postfix,
+        model_weights=args.model_weights,
+        topk=args.topk,
+    )
+    if args.epochs is not None:
+        cfg.epochs = args.epochs
+    if args.batch_size is not None:
+        cfg.batch_size = args.batch_size
+    print(cfg.dataset)
+    print("Model Name:-", cfg.save_model_path)
+    print("Running Mode:-", cfg.mode)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Dataset + host loader.
+
+≡ reference `hwgat/dataset.py:12-41` + `hwgat/utils.py:16-52`, redesigned for
+the XLA execution model:
+
+- fixed batch shapes: the last partial batch is padded and carried with a
+  {0,1} validity mask so jit never recompiles; loss/metrics weight by the mask
+  (numerically identical to the reference's per-sample accounting);
+- deterministic per-sample RNG: stream = (seed, epoch, sample index), so any
+  run is reproducible regardless of worker scheduling;
+- transform workers run in a thread pool (NumPy/SciPy release the GIL on the
+  hot paths), feeding an on-device double-buffered prefetch.
+"""
+
+from __future__ import annotations
+
+import pickle
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+
+def load_entry(data):
+    """Resolve a data-map entry: in-memory array | .pkl path | .mp4 path.
+    ≡ `dataset.py:21-28`."""
+    if isinstance(data, np.ndarray):
+        return data
+    if isinstance(data, str) and data.endswith("pkl"):
+        with open(data, "rb") as f:
+            return pickle.load(f)
+    if isinstance(data, str) and data.endswith("mp4"):
+        try:
+            from decord import VideoReader, cpu
+        except ImportError as e:
+            raise ImportError("decord is required to read .mp4 data-map entries") from e
+        return VideoReader(data, ctx=cpu(0)).asnumpy()
+    raise ValueError(f"unsupported data-map entry: {type(data)}")
+
+
+@dataclass
+class KeypointDataset:
+    """id-list + data-map + label-map + transform. ≡ `CustomDataset`."""
+
+    ids: list
+    data_map: dict
+    label_map: dict
+    transform: object
+    seed: int = 1001
+
+    def __len__(self):
+        return len(self.ids)
+
+    def get(self, index: int, epoch: int = 0):
+        vid = self.ids[index]
+        feat = load_entry(self.data_map[vid]).copy()
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, index]))
+        feat = self.transform(feat, rng) if self.transform is not None else feat
+        return feat.astype(np.float32), np.int32(self.label_map[vid])
+
+
+@dataclass
+class Loader:
+    """Fixed-shape batch iterator with padding mask and thread-pool transforms."""
+
+    dataset: KeypointDataset
+    batch_size: int
+    shuffle: bool = False
+    num_workers: int = 8
+    seed: int = 1001
+
+    def __len__(self):
+        return -(-len(self.dataset) // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(np.random.SeedSequence([self.seed, epoch])).shuffle(order)
+
+        def fetch(i):
+            return self.dataset.get(int(i), epoch)
+
+        bs = self.batch_size
+        with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
+            for start in range(0, n, bs):
+                idx = order[start : start + bs]
+                samples = list(pool.map(fetch, idx))
+                feats = np.stack([s[0] for s in samples])
+                labels = np.asarray([s[1] for s in samples], dtype=np.int32)
+                valid = np.ones(len(samples), dtype=np.float32)
+                if len(samples) < bs:  # pad to fixed shape
+                    pad = bs - len(samples)
+                    feats = np.concatenate([feats, np.repeat(feats[-1:], pad, 0)])
+                    labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
+                    valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+                yield feats, labels, valid
+
+
+def load_artifacts(cfg_data):
+    """Read the four preprocessed pickles. ≡ `utils.py:18-26`."""
+    with open(cfg_data.vid_split_path, "rb") as f:
+        vid_splits = pickle.load(f)
+    with open(cfg_data.vid_class_path, "rb") as f:
+        vid_cls = pickle.load(f)
+    with open(cfg_data.data_map_path, "rb") as f:
+        vid_feat = pickle.load(f)
+    return vid_splits, vid_cls, vid_feat
+
+
+def get_loaders(cfg, train_transform, eval_transform):
+    """Three split loaders; in test mode every split uses the eval transform.
+    ≡ `utils.py:16-52`."""
+    vid_splits, vid_cls, vid_feat = load_artifacts(cfg.data)
+    tt = eval_transform if cfg.mode == "test" else train_transform
+
+    def mk(split, transform, shuffle):
+        ds = KeypointDataset(vid_splits[split], vid_feat, vid_cls, transform, seed=cfg.seed)
+        return Loader(ds, cfg.batch_size, shuffle=shuffle, num_workers=cfg.n_workers, seed=cfg.seed)
+
+    return (
+        mk("train", tt, shuffle=cfg.mode != "test"),
+        mk("val", eval_transform, shuffle=False),
+        mk("test", eval_transform, shuffle=False),
+    )

@@ -1,0 +1,56 @@
+"""Synthetic keypoint dataset generator — used by tests, smoke runs, and the
+benchmark harness (the reference ships no data; BASELINE config 1 calls for a
+"synthetic keypoint clip batch")."""
+
+from __future__ import annotations
+
+import csv
+import os
+import pickle
+
+import numpy as np
+
+
+def make_clip(rng: np.random.Generator, num_frames: int, num_joints: int = 29,
+              coords: int = 2) -> np.ndarray:
+    """Plausible normalized keypoints: anchors/origin nonzero, smooth motion."""
+    base = rng.uniform(0.3, 0.7, size=(1, num_joints, coords))
+    drift = np.cumsum(rng.normal(0, 0.01, size=(num_frames, 1, coords)), axis=0)
+    jitter = rng.normal(0, 0.005, size=(num_frames, num_joints, coords))
+    clip = np.clip(base + drift + jitter, 0.05, 0.95).astype(np.float32)
+    return clip
+
+
+def write_synthetic_dataset(root: str, dataset_name: str = "SYNTH",
+                            num_classes: int = 16, clips_per_class: int = 4,
+                            frames: tuple[int, int] = (12, 40), seed: int = 0) -> None:
+    """Emit the four preprocessed artifacts (≡ `data_preprocess.py:102-116`)."""
+    rng = np.random.default_rng(seed)
+    out_dir = os.path.join(root, dataset_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    vid_splits = {"train": [], "val": [], "test": []}
+    vid_class, data_map = {}, {}
+    for cls in range(num_classes):
+        for i in range(clips_per_class):
+            vid = f"c{cls:03d}_{i}"
+            t = int(rng.integers(frames[0], frames[1]))
+            clip = make_clip(rng, t)
+            # class-dependent offset so the task is learnable
+            clip[:, :, 0] += 0.1 * np.sin(cls) * np.linspace(0, 1, t)[:, None]
+            data_map[vid] = np.clip(clip, 0.0, 1.0)
+            vid_class[vid] = cls
+            split = "train" if i < clips_per_class - 2 else ("val" if i == clips_per_class - 2 else "test")
+            vid_splits[split].append(vid)
+
+    with open(os.path.join(out_dir, f"vid_splits_{dataset_name}.pkl"), "wb") as f:
+        pickle.dump(vid_splits, f)
+    with open(os.path.join(out_dir, f"vid_class_{dataset_name}.pkl"), "wb") as f:
+        pickle.dump(vid_class, f)
+    with open(os.path.join(out_dir, f"data_map_{dataset_name}_keypoints.pkl"), "wb") as f:
+        pickle.dump(data_map, f)
+    with open(os.path.join(out_dir, f"class_map_{dataset_name}.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["class", "word"])
+        for c in range(num_classes):
+            w.writerow([c, f"word{c}"])

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from sl_hwgat_tpu.graphs.adjacency import windowed_block_adj
@@ -110,7 +111,7 @@ class WindowedMSA(nn.Module):
             prune_u = jax.random.uniform(self.make_rng("prune"), ())
 
         stack, pad = _supertile_stack(n)
-        adj = jnp.asarray(self.adj, dtype=jnp.float32)
+        adj = np.asarray(self.adj, dtype=np.float32)  # static: baked into the kernel
 
         def attend(qu, ku, vu, mask):
             return stacked_window_attention(
@@ -135,7 +136,7 @@ class WindowedMSA(nn.Module):
                 return t[:, : f - 1].reshape(-1, n, dh), t[:, f - 1 :].reshape(-1, n, dh)
 
             (qm, qt), (km, kt), (vm, vt) = split(q), split(k), split(v)
-            tail_adj = adj * jnp.asarray(self.tail_shift_mask, dtype=jnp.float32)
+            tail_adj = adj * np.asarray(self.tail_shift_mask, dtype=np.float32)
             parts = []
             if f > 1:
                 parts.append(attend(qm, km, vm, adj).reshape(-1, f - 1, per_f, n, dh))

@@ -1,0 +1,118 @@
+"""Sharding rules and sharded train/eval step builders.
+
+Strategy (designed for TPU ICI, validated on a virtual CPU mesh):
+
+- **dp**: batch axis of every array in the batch.
+- **sp**: the temporal (frame) axis. HWGATE's windowed attention is local
+  within TP-frame groups, so sequence sharding is communication-free except
+  the cyclic roll of shifted blocks (a ±1-frame halo that GSPMD lowers to a
+  collective-permute) and the temporal-merge reshape.
+- **tp**: Megatron-style: QKV / fc1 kernels column-sharded, proj / fc2 kernels
+  row-sharded; XLA inserts the psum on the row-sharded matmuls' outputs.
+
+Everything is expressed as ``NamedSharding`` annotations on params and batch;
+GSPMD propagates through the model and emits ICI collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# (path regex, PartitionSpec) — first match wins; default replicate.
+TP_RULES: list[tuple[str, P]] = [
+    (r".*/attn/qkv/kernel$", P(None, "tp")),
+    (r".*/attn/qkv/bias$", P("tp")),
+    (r".*/attn/proj/kernel$", P("tp", None)),
+    (r".*/self_attn/in_proj/kernel$", P(None, "tp")),
+    (r".*/self_attn/in_proj/bias$", P("tp")),
+    (r".*/self_attn/out_proj/kernel$", P("tp", None)),
+    (r".*/ff/fc1/kernel$", P(None, "tp")),
+    (r".*/ff/fc1/bias$", P("tp")),
+    (r".*/ff/fc2/kernel$", P("tp", None)),
+    (r".*/linear1/kernel$", P(None, "tp")),
+    (r".*/linear1/bias$", P("tp")),
+    (r".*/linear2/kernel$", P("tp", None)),
+]
+
+
+def _path_str(path) -> str:
+    return "/" + "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def variable_sharding_rules(variables, mesh: Mesh, use_tp: bool = True):
+    """PartitionSpec tree for the variable dict (params tp-sharded, buffers
+    and batch stats replicated)."""
+
+    def spec_for(path, leaf):
+        p = _path_str(path)
+        if use_tp:
+            for pat, spec in TP_RULES:
+                if re.match(pat, p):
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, variables)
+
+
+def shard_variables(variables, mesh: Mesh, use_tp: bool = True):
+    """Place a variable tree onto the mesh according to the rules."""
+    shardings = variable_sharding_rules(variables, mesh, use_tp)
+    return jax.tree.map(jax.device_put, variables, shardings)
+
+
+def batch_sharding(mesh: Mesh, seq_axis: int | None = 1):
+    """Shardings for (x, y, valid): batch over dp, frames over sp."""
+    if seq_axis == 1:
+        x_spec = P("dp", "sp", None, None)
+    else:
+        x_spec = P("dp")
+    return (
+        NamedSharding(mesh, x_spec),
+        NamedSharding(mesh, P("dp")),
+        NamedSharding(mesh, P("dp")),
+    )
+
+
+def make_sharded_steps(model, optimizer, mesh: Mesh, variables, opt_state,
+                       criterion_type: str = "smooth_cross_entropy",
+                       rng_streams: tuple = ("dropout",),
+                       mutable_stats: bool = False,
+                       shard_sequence: bool = True,
+                       use_tp: bool = True,
+                       donate: bool = False):
+    """Build jitted train/eval steps with explicit input shardings.
+
+    Returns (train_step, eval_step, sharded_variables, sharded_opt_state).
+    """
+    from sl_hwgat_tpu.train.loop import make_steps
+
+    var_sh = variable_sharding_rules(variables, mesh, use_tp)
+    variables = jax.tree.map(jax.device_put, variables, var_sh)
+    opt_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), opt_state)
+
+    # opt_state mirrors params structure inside; replicating it is correct and
+    # simple (optimizer math is elementwise; GSPMD re-shards as needed).
+    opt_state = jax.tree.map(jax.device_put, opt_state, opt_sh)
+
+    x_sh, y_sh, v_sh = batch_sharding(mesh, seq_axis=1 if shard_sequence else None)
+    rep = NamedSharding(mesh, P())
+
+    train_raw, eval_raw = make_steps(
+        model, optimizer, criterion_type, rng_streams, mutable_stats, donate=False
+    )
+    train_step = jax.jit(
+        train_raw.__wrapped__,
+        in_shardings=(var_sh, opt_sh, x_sh, y_sh, v_sh, rep, rep, rep),
+        donate_argnums=(0, 1) if donate else (),
+    )
+    eval_step = jax.jit(
+        eval_raw.__wrapped__,
+        static_argnums=(4,),
+        in_shardings=(var_sh, x_sh, y_sh, v_sh),
+    )
+    return train_step, eval_step, variables, opt_state

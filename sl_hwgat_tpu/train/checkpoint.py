@@ -1,0 +1,115 @@
+"""Checkpoint / resume / transfer loading.
+
+≡ reference `hwgat/utils.py:164-237`:
+- full-state save: variables + optimizer state + scheduler epoch + LR + the
+  four history curves (single file, pickle of numpy pytrees);
+- resume restores everything and continues at epoch+1;
+- transfer loading is shape-checked and partial: mismatched/missing tensors
+  keep their fresh init with a console report (`utils.py:185-214`). Sources
+  can be our ``.ckpt`` files or reference PyTorch ``.pt`` checkpoints
+  (cross-framework import, `train/torch_import.py`);
+- experiment snapshot: config pickle + the source files of the model and
+  transform definitions are copied into the run dir (`utils.py:178-183`).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+
+import jax
+import numpy as np
+
+from sl_hwgat_tpu.train import torch_import
+
+FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, state, lr: float) -> None:
+    """≡ `utils.py:164-176`."""
+    variables, opt_state = state.to_numpy()
+    payload = {
+        "format_version": FORMAT_VERSION,
+        "variables": variables,
+        "opt_state": opt_state,
+        "epoch": state.epoch,
+        "learning_rate": lr,
+        "train_loss_list": state.history["train_loss"],
+        "val_loss_list": state.history["val_loss"],
+        "train_acc_list": state.history["train_acc"],
+        "val_acc_list": state.history["val_acc"],
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def read_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def variables_from_source(path: str, model_type: str) -> dict:
+    """Variables tree from a ``.ckpt`` (ours) or ``.pt`` (reference torch)."""
+    if path.endswith(".pt"):
+        sd = torch_import.load_torch_checkpoint(path)
+        if model_type in ("HWGATE", "HGATE", "WGATE", "GATE"):
+            return torch_import.gat_family_from_torch(sd)
+        if model_type == "STGCN":
+            return torch_import.stgcn_from_torch(sd)
+        if model_type == "DecoupledGCN":
+            return torch_import.decoupled_gcn_from_torch(sd)
+        if model_type == "Transformer":
+            return torch_import.transformer_from_torch(sd)
+        raise ValueError(f"no torch importer for model {model_type}")
+    return read_checkpoint(path)["variables"]
+
+
+def load_pretrained_into(state, path: str, model_type: str, verbose: bool = True):
+    """Shape-checked partial weight load (fresh optimizer/history).
+    ≡ `utils.py:185-214` + the `cfg.model_weights` branch of `load_checkpoint`."""
+    source = variables_from_source(path, model_type)
+    target = jax.tree.map(np.asarray, state.variables)
+    merged = {}
+    for col, tree in target.items():
+        merged[col], _ = torch_import.partial_load(tree, source.get(col, {}), verbose=verbose)
+    state.variables = jax.tree.map(np.asarray, merged)
+    return state
+
+
+def resume_from(state, path: str):
+    """Full resume: variables, optimizer, epoch+1, history. ≡ `utils.py:226-237`."""
+    ckpt = read_checkpoint(path)
+    state.variables = ckpt["variables"]
+    state.opt_state = ckpt["opt_state"]
+    state.epoch = ckpt["epoch"] + 1
+    state.history = {
+        "train_loss": ckpt["train_loss_list"],
+        "val_loss": ckpt["val_loss_list"],
+        "train_acc": ckpt["train_acc_list"],
+        "val_acc": ckpt["val_acc_list"],
+    }
+    return state
+
+
+def save_experiment_snapshot(cfg) -> None:
+    """Pickle the config + copy model/transform sources into the run dir.
+    ≡ `utils.py:178-183`."""
+    import sl_hwgat_tpu.configs as configs_mod
+    import sl_hwgat_tpu.data.transforms as transforms_mod
+    from sl_hwgat_tpu import models as models_pkg
+
+    out = cfg.ensure_out_folder()
+    with open(cfg.save_config_path, "wb") as f:
+        pickle.dump(cfg, f)
+    model_file = {
+        "HWGATE": "hwgate", "HGATE": "hgate", "WGATE": "wgate", "GATE": "gate",
+        "STGCN": "stgcn", "DecoupledGCN": "decoupled_gcn", "Transformer": "transformer",
+    }[cfg.model_type]
+    pkg_dir = os.path.dirname(models_pkg.__file__)
+    shutil.copy(os.path.join(pkg_dir, model_file + ".py"), out)
+    shutil.copy(configs_mod.__file__, out)
+    shutil.copy(transforms_mod.__file__, out)

@@ -1,0 +1,197 @@
+"""jit'd train/eval steps and the epoch driver.
+
+≡ reference `hwgat/utils.py:93-142` (per-batch SGD loop, top-k eval) and
+`:240-290` (epoch driver with best-loss / best-acc / every-N checkpoints,
+curve plots, early stopping). Steps are compiled once per (model, shape) and
+reused across epochs; batches carry a validity mask so shapes never change.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sl_hwgat_tpu.train import checkpoint as ckpt_lib
+from sl_hwgat_tpu.train.losses import CRITERIA
+from sl_hwgat_tpu.train.state import TrainState, cosine_annealing_lr, make_optimizer, set_lr
+
+
+def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
+               rng_streams: tuple = ("dropout",), mutable_stats: bool = False,
+               donate: bool = True):
+    """Build (train_step, eval_step) jitted closures for ``model``."""
+    criterion = CRITERIA[criterion_type]
+
+    def split_rngs(key, epoch, step):
+        key = jax.random.fold_in(jax.random.fold_in(key, epoch), step)
+        keys = jax.random.split(key, len(rng_streams))
+        return dict(zip(rng_streams, keys))
+
+    def weighted_loss(logits, labels, valid):
+        per = jax.vmap(lambda lg, lb: criterion(lg[None], lb[None]))(logits, labels)
+        return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    def train_step(variables, opt_state, x, y, valid, key, epoch, step):
+        rngs = split_rngs(key, epoch, step)
+        aux_cols = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(params):
+            out = model.apply(
+                {**aux_cols, "params": params}, x, train=True, rngs=rngs,
+                mutable=["batch_stats"] if mutable_stats else False,
+            )
+            logits, new_cols = out if mutable_stats else (out, {})
+            return weighted_loss(logits, y, valid), (logits, new_cols)
+
+        (loss, (logits, new_cols)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
+        params = jax.tree.map(lambda p, u: p + u, variables["params"], updates)
+        new_vars = {**variables, "params": params, **new_cols}
+        correct = (jnp.argmax(logits, -1) == y).astype(jnp.float32) * valid
+        return new_vars, opt_state, loss, jnp.sum(correct), jnp.sum(valid)
+
+    def eval_step(variables, x, y, valid, k):
+        logits = model.apply(variables, x, train=False)
+        loss = weighted_loss(logits, y, valid)
+        # top-k via sorted logits (≡ argsort path, `utils.py:133-134`)
+        topk = jnp.argsort(logits, axis=-1)[:, ::-1][:, :k]
+        correct = jnp.any(topk == y[:, None], axis=-1).astype(jnp.float32) * valid
+        return loss, jnp.sum(correct), jnp.sum(valid), jnp.argmax(logits, -1)
+
+    return (
+        jax.jit(train_step, donate_argnums=(0, 1) if donate else ()),
+        jax.jit(eval_step, static_argnums=(4,)),
+    )
+
+
+def train_epoch(train_step, state: TrainState, loader, key, epoch: int):
+    """One pass over the training loader. ≡ `utils.py:93-116`."""
+    total_loss, correct, seen, batches = 0.0, 0.0, 0.0, 0
+    variables, opt_state = state.variables, state.opt_state
+    for step, (x, y, valid) in enumerate(loader.epoch(epoch)):
+        variables, opt_state, loss, c, v = train_step(
+            variables, opt_state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid),
+            key, epoch, step,
+        )
+        total_loss += float(loss)
+        correct += float(c)
+        seen += float(v)
+        batches += 1
+    state.variables, state.opt_state = variables, opt_state
+    return total_loss / max(batches, 1), correct / max(seen, 1.0)
+
+
+def evaluate(eval_step, state: TrainState, loader, k: int = 1, epoch: int = 0):
+    """Top-k evaluation. ≡ `utils.py:118-142`."""
+    total_loss, correct, seen, batches = 0.0, 0.0, 0.0, 0
+    for x, y, valid in loader.epoch(epoch):
+        loss, c, v, _ = eval_step(
+            state.variables, jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid), k
+        )
+        total_loss += float(loss)
+        correct += float(c)
+        seen += float(v)
+        batches += 1
+    return total_loss / max(batches, 1), correct / max(seen, 1.0)
+
+
+def predictions_plus_true(eval_step, state: TrainState, loader):
+    """(y_pred, y_true) over a loader. ≡ `utils.py:144-161`."""
+    y_pred, y_true = [], []
+    for x, y, valid in loader.epoch(0):
+        _, _, _, pred = eval_step(
+            state.variables, jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid), 1
+        )
+        nvalid = int(np.sum(valid))
+        y_pred += np.asarray(pred)[:nvalid].tolist()
+        y_true += np.asarray(y)[:nvalid].tolist()
+    return y_pred, y_true
+
+
+class EarlyStopper:
+    """≡ `utils.py:353-368`."""
+
+    def __init__(self, patience=1, min_delta=0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.counter = 0
+        self.max_validation_acc = 0.0
+
+    def early_stop(self, validation_acc):
+        if validation_acc > self.max_validation_acc:
+            self.max_validation_acc = validation_acc
+            self.counter = 0
+        elif validation_acc < (self.max_validation_acc + self.min_delta):
+            self.counter += 1
+            if self.counter >= self.patience:
+                return True
+        return False
+
+
+def run_epochs(model, cfg, state: TrainState, train_step, eval_step,
+               train_loader, val_loader, early_stopper: EarlyStopper | None = None,
+               progress: Callable[[int, dict], None] | None = None,
+               plot: bool = True):
+    """Epoch driver with the reference's three checkpoint triggers.
+    ≡ `utils.py:240-290`."""
+    from sl_hwgat_tpu.train.reporting import plot_results
+
+    hist = state.history
+    best_val_loss = min(hist["val_loss"], default=9999.0)
+    best_val_acc = max(hist["val_acc"], default=0.0)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    for epoch in range(state.epoch, cfg.epochs + 1):
+        state.opt_state = set_lr(
+            state.opt_state,
+            cosine_annealing_lr(epoch, cfg.lr, cfg.scheduler_t_max)
+            if cfg.scheduler == "CosineAnnealingLR"
+            else cfg.lr,
+        )
+        train_loss, train_acc = train_epoch(train_step, state, train_loader, key, epoch)
+        val_loss, val_acc = evaluate(eval_step, state, val_loader, epoch=epoch)
+
+        hist["train_loss"].append(train_loss)
+        hist["train_acc"].append(train_acc)
+        hist["val_loss"].append(val_loss)
+        hist["val_acc"].append(val_acc)
+        state.epoch = epoch
+
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            ckpt_lib.save_checkpoint(f"{cfg.save_model_path}_best_loss.ckpt", state, cfg.lr)
+        if val_acc > best_val_acc:
+            best_val_acc = val_acc
+            ckpt_lib.save_checkpoint(f"{cfg.save_model_path}_best_acc.ckpt", state, cfg.lr)
+        if epoch > 0 and epoch % cfg.save_interval == 0:
+            ckpt_lib.save_checkpoint(f"{cfg.save_model_path}_{epoch}.ckpt", state, cfg.lr)
+
+        if progress is not None:
+            progress(epoch, dict(train_loss=train_loss, train_acc=train_acc,
+                                 val_loss=val_loss, val_acc=val_acc,
+                                 best_val_loss=best_val_loss))
+        if plot:
+            plot_results(hist["train_loss"], hist["val_loss"], "loss",
+                         cfg.criterion_type, cfg.save_loss_curve_path)
+            plot_results(hist["train_acc"], hist["val_acc"], "acc",
+                         "accuracy", cfg.save_acc_curve_path)
+        if cfg.early_stopping and early_stopper is not None and early_stopper.early_stop(val_acc):
+            break
+    return state
+
+
+def init_state(model, cfg, sample_shape, rng_streams=("dropout",)):
+    """Initialize variables + optimizer state for a fresh run."""
+    key = jax.random.PRNGKey(cfg.seed)
+    x = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
+    variables = model.init(key, x, train=False)
+    variables = dict(variables)
+    optimizer = make_optimizer(cfg.optimizer_type, cfg.lr)
+    opt_state = optimizer.init(variables["params"])
+    return TrainState(variables=variables, opt_state=opt_state, base_lr=cfg.lr), optimizer

@@ -1,0 +1,100 @@
+"""End-to-end: synthetic dataset → train → checkpoint → resume → transfer →
+final eval + confusion CSV. Locks the CLI contract (SURVEY.md §4.4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sl_hwgat_tpu.configs import RunConfig
+from sl_hwgat_tpu.data.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    write_synthetic_dataset(str(root / "input"))
+    return root
+
+
+def small_cfg(workdir, mode="train", model="HWGATE", time="t0", weights="none", epochs=2):
+    cfg = RunConfig(
+        dataset="SYNTH",
+        model_type=model,
+        mode=mode,
+        time=time,
+        model_weights=weights,
+        input_root=str(workdir / "input"),
+        output_root=str(workdir / "output"),
+    )
+    cfg.epochs = epochs
+    cfg.batch_size = 4
+    cfg.n_workers = 2
+    # tiny model for CPU speed
+    if model == "HWGATE":
+        cfg.overrides = dict(embed_dim=32, depths=(1, 1), num_heads=(2, 2))
+    return cfg
+
+
+def test_train_checkpoint_eval(workdir):
+    from sl_hwgat_tpu.cli import run
+
+    cfg = small_cfg(workdir)
+    results, state = run(cfg, progress=False)
+    assert set(results) == {"train", "val", "test"}
+    out = cfg.out_folder
+    assert os.path.exists(f"{cfg.save_model_path}_best_loss.ckpt")
+    assert os.path.exists(cfg.save_loss_curve_path)
+    assert os.path.exists(cfg.save_cm_path)
+    assert os.path.exists(os.path.join(out, "hwgate.py"))  # experiment snapshot
+    assert len(state.history["train_loss"]) == 3  # epochs 0..2
+
+
+def test_resume_continues_epochs(workdir):
+    from sl_hwgat_tpu.cli import run
+
+    cfg = small_cfg(workdir, mode="load", time="t0", epochs=4)
+    results, state = run(cfg, progress=False)
+    # resumed from epoch 2's best checkpoint → history extended beyond 3
+    assert len(state.history["train_loss"]) >= 4
+
+
+def test_transfer_load_partial(workdir):
+    """Finetune path: load weights from a prior run into a model with a new
+    class head (shape-mismatched head keeps fresh init)."""
+    from sl_hwgat_tpu.cli import run
+    from sl_hwgat_tpu.train import checkpoint as ckpt_lib
+    from sl_hwgat_tpu.train.loop import init_state
+    from sl_hwgat_tpu.models import build_model
+
+    prev = small_cfg(workdir, time="t0")
+    src = f"{prev.save_model_path}_best_loss.ckpt"
+    assert os.path.exists(src)
+
+    cfg = small_cfg(workdir, time="t1")
+    model = build_model(cfg.model_type, {"num_class": 7, "src_len": 32}, 2, **cfg.overrides)
+    state, _ = init_state(model, cfg, (32, 64, 2), ("dropout", "prune"))
+    head_before = np.asarray(state.variables["params"]["head"]["kernel"]).copy()
+    body_before = np.asarray(
+        state.variables["params"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"]
+    ).copy()
+    state = ckpt_lib.load_pretrained_into(state, src, cfg.model_type, verbose=False)
+    # head kept fresh (shape mismatch: 16 vs 7 classes), body overwritten
+    np.testing.assert_array_equal(state.variables["params"]["head"]["kernel"], head_before)
+    assert not np.allclose(
+        state.variables["params"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"], body_before
+    )
+
+
+def test_cosine_lr_matches_torch():
+    torch = pytest.importorskip("torch")
+    from sl_hwgat_tpu.train.state import cosine_annealing_lr
+
+    m = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(m.parameters(), lr=5e-4)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=20, last_epoch=-1)
+    for epoch in range(45):
+        want = opt.param_groups[0]["lr"]
+        got = float(cosine_annealing_lr(epoch, 5e-4, 20))
+        np.testing.assert_allclose(got, want, atol=1e-9)
+        sched.step()
