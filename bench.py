@@ -20,16 +20,27 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, warmup=2, iters=10):
+def _timeit_chained(step_fn, carry, warmup=2, iters=10):
+    """Time ``carry = step_fn(carry)`` with real data dependencies between
+    iterations and a host value-fetch at the end (``block_until_ready`` does
+    not reliably block through the axon remote-execution relay, so we force a
+    device→host transfer of a scalar derived from the carry)."""
+    import jax.numpy as jnp
+
+    def sync(c):
+        leaf = jax.tree.leaves(c)[0] if not hasattr(c, "ravel") else c
+        return float(jnp.sum(leaf))
+
     import jax
 
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        carry = step_fn(carry)
+    sync(carry)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        carry = step_fn(carry)
+    sync(carry)
+    return (time.perf_counter() - t0) / iters, carry
 
 
 def hwgate_attention_edge_ops(batch: int, frames: int = 192, depths=(2, 2, 4),
@@ -81,21 +92,23 @@ def main():
     valid = jnp.ones((batch,), jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    def step(variables, opt_state):
+    def step(carry):
+        variables, opt_state = carry
         v, o, loss, c, n = train_step(variables, opt_state, x, y, valid, key, 0, 0)
-        return loss
+        return (v, o)
 
-    step_time = _timeit(step, state.variables, state.opt_state, warmup=2, iters=5)
+    step_time, _ = _timeit_chained(step, (state.variables, state.opt_state), warmup=2, iters=10)
 
     # fwd + bwd ≈ 3× the forward edge traffic (dQK^T, dV recompute paths)
     edges = 3 * hwgate_attention_edge_ops(batch, ds["src_len"])
     edges_per_sec = edges / step_time
 
-    # Self-calibrated roofline: measured dense matmul peak in the same dtype.
+    # Self-calibrated roofline: measured dense matmul peak in the same dtype,
+    # with a data dependency chaining iterations.
     m = 4096
-    a = jnp.asarray(r.normal(size=(m, m)).astype(np.float32))
-    mm = jax.jit(lambda a, b: a @ b)
-    mm_time = _timeit(mm, a, a, warmup=2, iters=5)
+    a = jnp.asarray(r.normal(size=(m, m)).astype(np.float32) / m)
+    mm = jax.jit(lambda b: a @ b)
+    mm_time, _ = _timeit_chained(mm, a, warmup=2, iters=10)
     peak_flops = 2 * m**3 / mm_time
 
     # One supertile = 2 matmuls of (128×128×64) carrying 4 windows × nnz edges.

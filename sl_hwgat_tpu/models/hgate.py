@@ -42,6 +42,7 @@ class GraphAttentionBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     ff_ratio: float = 2.0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -66,6 +67,7 @@ class GraphAttentionBlock(nn.Module):
             tail_shift_mask=tail_mask,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            attn_impl=self.attn_impl,
             name="attn",
         )(xb, train=train)
         x = block_reverse(xb, self.temporal_patch, f_total, k)
@@ -95,6 +97,7 @@ class HGATE(nn.Module):
     drop_rate: float = 0.1
     attn_drop_rate: float = 0.0
     ff_ratio: float = 2.0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -120,6 +123,7 @@ class HGATE(nn.Module):
                     drop=self.drop_rate,
                     attn_drop=self.attn_drop_rate,
                     ff_ratio=self.ff_ratio,
+                    attn_impl=self.attn_impl,
                     name=f"layers_{i}_blocks_{j}",
                 )(x, train=train)
             if i < num_layers - 1:

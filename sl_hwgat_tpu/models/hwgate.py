@@ -90,6 +90,9 @@ class WindowedMSA(nn.Module):
     tail_shift_mask: tuple | None = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    # 'auto' → fused Pallas kernel on TPU, jnp stacked path elsewhere;
+    # 'stacked' is also the right choice under GSPMD sharding (partitionable).
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -113,7 +116,20 @@ class WindowedMSA(nn.Module):
         stack, pad = _supertile_stack(n)
         adj = np.asarray(self.adj, dtype=np.float32)  # static: baked into the kernel
 
+        impl = self.attn_impl
+        if impl == "auto":
+            import jax
+
+            impl = "pallas" if jax.default_backend() == "tpu" else "stacked"
+
         def attend(qu, ku, vu, mask):
+            if impl == "pallas":
+                from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
+
+                return pallas_window_attention(
+                    qu, ku, vu, mask, scale=scale, stack=stack, pad_tokens=pad,
+                    prune_u=prune_u,
+                )
             return stacked_window_attention(
                 qu, ku, vu, mask, scale=scale, stack=stack, pad_tokens=pad,
                 prune_u=prune_u,
@@ -162,6 +178,7 @@ class PartAttentionBlock(nn.Module):
     attn_drop: float = 0.0
     ff_ratio: float = 2.0
     prune: bool = True
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -186,6 +203,7 @@ class PartAttentionBlock(nn.Module):
             tail_shift_mask=tail_mask,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            attn_impl=self.attn_impl,
             name="attn",
         )(xw, train=train)
         x = window_reverse(xw, self.window_size, self.temporal_patch, f_total, k)
@@ -218,6 +236,7 @@ class HWGATE(nn.Module):
     attn_drop_rate: float = 0.0
     ff_ratio: float = 2.0
     prune_attn: bool = True
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -248,6 +267,7 @@ class HWGATE(nn.Module):
                     attn_drop=self.attn_drop_rate,
                     ff_ratio=self.ff_ratio,
                     prune=self.prune_attn,
+                    attn_impl=self.attn_impl,
                     name=f"layers_{i}_blocks_{j}",
                 )(x, train=train)
             if i < num_layers - 1:

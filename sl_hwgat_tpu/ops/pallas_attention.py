@@ -1,0 +1,216 @@
+"""Fused adjacency-masked window attention as a Pallas TPU kernel.
+
+One kernel fuses SDDMM (QKᵀ on the supertile), reference-exact masking
+(multiplicative adjacency + zero-score quirk + optional train-time pruning),
+edge softmax, and SpMM (·V) — the (SN×SN) score matrix lives only in VMEM,
+never in HBM. The backward pass is a second Pallas kernel that recomputes the
+attention matrix flash-style and emits dQ/dK/dV in the same pass.
+
+Layout contract (set up by ``pallas_window_attention``): units of N tokens are
+padded to Np and stacked ``stack`` per supertile of SN = stack·Np = 128 rows;
+per-unit isolation follows the exact-zero-underflow argument documented in
+``ops/attention.py::stacked_window_attention`` (cross-unit/padded entries sit
+at 2·NEG < NEG so even fully-masked rows renormalize within their own unit).
+
+Numerics are bit-compatible with the jnp ``stacked_window_attention`` path;
+tests compare both forward and gradients. On non-TPU backends the kernels run
+in interpreter mode automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sl_hwgat_tpu.ops.attention import NEG, UNIT_NEG
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _masked_attn_matrix(s, tile_adj, unit_blk, prune_u, zero_quirk):
+    """Scores → attention probabilities with reference-exact masking."""
+    if prune_u is not None:
+        s_iso = jnp.where(unit_blk == 1, s, jnp.float32(UNIT_NEG))
+        prob = jnp.exp(s_iso - jnp.max(s_iso, axis=-1, keepdims=True))
+        prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
+        s = jnp.where(prob > prune_u, 0.0, s)
+    if zero_quirk:
+        s = jnp.where((tile_adj == 0) | (s == 0), jnp.float32(NEG), s)
+    else:
+        s = jnp.where(tile_adj == 0, jnp.float32(NEG), s)
+    s = jnp.where(unit_blk == 0, jnp.float32(2 * NEG), s)
+    a = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    return a / jnp.sum(a, axis=-1, keepdims=True), s
+
+
+def _fwd_kernel(u_ref, q_ref, k_ref, v_ref, adj_ref, blk_ref, o_ref,
+                *, scale, zero_quirk, prune, tiles_per_step):
+    adj = adj_ref[:]
+    blk = blk_ref[:]
+    pu = u_ref[0] if prune else None
+    for g in range(tiles_per_step):
+        q = q_ref[g]
+        s = jnp.dot(q * scale, k_ref[g].T, preferred_element_type=jnp.float32)
+        a, _ = _masked_attn_matrix(s, adj, blk, pu, zero_quirk)
+        o_ref[g] = jnp.dot(a, v_ref[g], preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, zero_quirk, prune, tiles_per_step):
+    adj = adj_ref[:]
+    blk = blk_ref[:]
+    pu = u_ref[0] if prune else None
+    for g in range(tiles_per_step):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        do = do_ref[g]
+        s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+        a, s_masked = _masked_attn_matrix(s, adj, blk, pu, zero_quirk)
+        dv_ref[g] = jnp.dot(a.T, do, preferred_element_type=jnp.float32)
+        da = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+        # gradient flows only through entries that kept their raw score
+        # (masked / zero / pruned entries were replaced by constants; the
+        # prune mask itself is detached in the reference, HWGATE.py:95)
+        passthrough = (s_masked == s).astype(jnp.float32)
+        ds = ds * passthrough
+        dq_ref[g] = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk_ref[g] = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+
+
+def _pad_stack(q, k, v, n, pad_tokens, stack):
+    np_ = n if pad_tokens is None else pad_tokens
+    if np_ != n:
+        padcfg = [(0, 0), (0, np_ - n), (0, 0)]
+        q, k, v = jnp.pad(q, padcfg), jnp.pad(k, padcfg), jnp.pad(v, padcfg)
+    u, _, dh = q.shape
+    t = u // stack
+    sn = stack * np_
+    return (x.reshape(t, sn, dh) for x in (q, k, v)), t, sn, np_
+
+
+def _tile_masks(adj, n, np_, stack):
+    adj_p = np.zeros((np_, np_), dtype=np.float32)
+    adj_p[:n, :n] = np.asarray(adj, dtype=np.float32)
+    valid = np.zeros((np_,), np.float32)
+    valid[:n] = 1.0
+    tok = np.tile(valid, stack)
+    outer = tok[None, :] * tok[:, None]
+    tile_adj = np.kron(np.eye(stack, dtype=np.float32), adj_p) * outer
+    unit_blk = np.kron(np.eye(stack, dtype=np.float32), np.ones((np_, np_), np.float32)) * outer
+    return tile_adj, unit_blk
+
+
+def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret):
+    grid = (t // tiles_per_step,)
+    tile_spec = pl.BlockSpec(
+        (tiles_per_step, sn, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    mask_spec = pl.BlockSpec((sn, sn), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
+    n_tensor_in = len(args) - 3  # minus scalar u and the two masks
+    in_specs = [scalar_spec] + [tile_spec] * n_tensor_in + [mask_spec, mask_spec]
+    out_specs = tuple([tile_spec] * n_out) if n_out > 1 else tile_spec
+    shape = jax.ShapeDtypeStruct((t, sn, dh), jnp.float32)
+    out_shape = tuple([shape] * n_out) if n_out > 1 else shape
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+
+_ADJ_CACHE: dict[Any, np.ndarray] = {}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _attention(q, k, v, u_val, prune, adj_key, scale, stack, pad_tokens, zero_quirk):
+    out, _ = _attention_fwd(q, k, v, u_val, prune, adj_key, scale, stack, pad_tokens, zero_quirk)
+    return out
+
+
+def _attention_fwd(q, k, v, u_val, prune, adj_key, scale, stack, pad_tokens, zero_quirk):
+    adj = _ADJ_CACHE[adj_key]
+    u_units, n, dh = q.shape
+    (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
+    tile_adj, unit_blk = _tile_masks(adj, n, np_, stack)
+    tiles_per_step = _pick_tiles_per_step(t, sn, dh)
+    kern = functools.partial(
+        _fwd_kernel, scale=scale, zero_quirk=zero_quirk, prune=prune,
+        tiles_per_step=tiles_per_step,
+    )
+    o = _call(
+        kern, 1, t, sn, dh, tiles_per_step,
+        (u_val, qs, ks, vs, jnp.asarray(tile_adj), jnp.asarray(unit_blk)),
+        _interpret(),
+    )
+    out = o.reshape(u_units, np_, dh)[:, :n]
+    return out, (q, k, v, u_val)
+
+
+def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk, res, g):
+    adj = _ADJ_CACHE[adj_key]
+    q, k, v, u_val = res
+    u_units, n, dh = q.shape
+    (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
+    if np_ != n:
+        g = jnp.pad(g, [(0, 0), (0, np_ - n), (0, 0)])
+    gs = g.reshape(t, sn, dh)
+    tile_adj, unit_blk = _tile_masks(adj, n, np_, stack)
+    tiles_per_step = _pick_tiles_per_step(t, sn, dh)
+    kern = functools.partial(
+        _bwd_kernel, scale=scale, zero_quirk=zero_quirk, prune=prune,
+        tiles_per_step=tiles_per_step,
+    )
+    dq, dk, dv = _call(
+        kern, 3, t, sn, dh, tiles_per_step,
+        (u_val, qs, ks, vs, gs, jnp.asarray(tile_adj), jnp.asarray(unit_blk)),
+        _interpret(),
+    )
+
+    def unstack(x):
+        return x.reshape(u_units, np_, dh)[:, :n]
+
+    return unstack(dq), unstack(dk), unstack(dv), None
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def _pick_tiles_per_step(t: int, sn: int, dh: int) -> int:
+    """Supertiles per grid step: enough to amortize grid overhead, small
+    enough to keep q/k/v/(do)/outputs comfortably inside VMEM."""
+    budget = 6 * 1024 * 1024  # leave headroom of ~16MB VMEM
+    per_tile = 8 * sn * dh * 4  # q,k,v,do,o,dq,dk,dv worst case
+    best = max(1, min(t, budget // max(per_tile, 1)))
+    while t % best:
+        best -= 1
+    return best
+
+
+def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
+                            stack: int = 4, pad_tokens: int | None = None,
+                            zero_quirk: bool = True, prune_u=None):
+    """Drop-in fused replacement for ``stacked_window_attention``.
+
+    q, k, v: (U, N, dh) float32; ``adj``: static (N, N) {0,1} numpy mask.
+    Differentiable via the fused backward kernel.
+    """
+    key = (adj.shape, adj.tobytes())
+    _ADJ_CACHE.setdefault(key, np.asarray(adj, dtype=np.float32))
+    prune = prune_u is not None
+    u_val = jnp.asarray([prune_u if prune else 0.0], jnp.float32)
+    return _attention(q, k, v, u_val, prune, key, float(scale), int(stack),
+                      pad_tokens, bool(zero_quirk))
