@@ -187,10 +187,14 @@ def run_epochs(model, cfg, state: TrainState, train_step, eval_step,
 
 
 def init_state(model, cfg, sample_shape, rng_streams=("dropout",)):
-    """Initialize variables + optimizer state for a fresh run."""
+    """Initialize variables + optimizer state for a fresh run.
+
+    ``model.init`` is jitted: the eager path issues hundreds of tiny device
+    ops, which is pathological over the remote TPU relay (~200s for HWGATE vs
+    <2s compiled)."""
     key = jax.random.PRNGKey(cfg.seed)
     x = jnp.zeros((1,) + tuple(sample_shape), jnp.float32)
-    variables = model.init(key, x, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(key, x, train=False)
     variables = dict(variables)
     optimizer = make_optimizer(cfg.optimizer_type, cfg.lr)
     opt_state = optimizer.init(variables["params"])
