@@ -52,6 +52,12 @@ def run(cfg, progress=True):
 
     np.random.seed(cfg.seed)
 
+    from sl_hwgat_tpu.models import MODEL_REGISTRY
+
+    if cfg.model_type not in MODEL_REGISTRY:
+        raise SystemExit(
+            f"unknown model '{cfg.model_type}'; choose from: {', '.join(sorted(MODEL_REGISTRY))}"
+        )
     model = build_model(cfg.model_type, cfg.dataset_params, cfg.input_dim, **cfg.overrides)
     num_kps = MODEL_NUM_KPS[cfg.model_type]
     rng_streams = MODEL_RNG_STREAMS[cfg.model_type]

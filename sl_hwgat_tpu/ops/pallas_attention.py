@@ -191,9 +191,13 @@ _attention.defvjp(_attention_fwd, _attention_bwd)
 
 def _pick_tiles_per_step(t: int, sn: int, dh: int) -> int:
     """Supertiles per grid step: enough to amortize grid overhead, small
-    enough to keep q/k/v/(do)/outputs comfortably inside VMEM."""
-    budget = 6 * 1024 * 1024  # leave headroom of ~16MB VMEM
-    per_tile = 8 * sn * dh * 4  # q,k,v,do,o,dq,dk,dv worst case
+    enough to keep q/k/v/(do)/outputs inside the 16MB scoped-VMEM limit.
+
+    Accounting per tile: up to 8 streamed operands (q,k,v,do,o,dq,dk,dv) ×
+    double buffering, plus per-iteration (SN,SN) score/attention intermediates
+    the unrolled loop keeps live — budget conservatively."""
+    per_tile = 2 * 8 * sn * dh * 4 + 3 * sn * sn * 4
+    budget = 8 * 1024 * 1024
     best = max(1, min(t, budget // max(per_tile, 1)))
     while t % best:
         best -= 1

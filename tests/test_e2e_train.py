@@ -86,6 +86,29 @@ def test_transfer_load_partial(workdir):
     )
 
 
+def test_stgcn_cli_train(workdir):
+    """29-joint skeleton path + BatchNorm batch_stats plumbing through the CLI."""
+    from sl_hwgat_tpu.cli import run
+
+    cfg = small_cfg(workdir, model="STGCN", time="t2", epochs=1)
+    cfg.overrides = dict(n_out_features=32)
+    results, state = run(cfg, progress=False)
+    assert "batch_stats" in state.variables
+    stats = state.variables["batch_stats"]["data_bn"]["mean"]
+    assert float(np.abs(np.asarray(stats)).sum()) > 0  # stats actually updated
+    assert os.path.exists(f"{cfg.save_model_path}_best_loss.ckpt")
+
+
+def test_gate_cli_train(workdir):
+    """Banded-attention model through the CLI (29-joint, additive mask)."""
+    from sl_hwgat_tpu.cli import run
+
+    cfg = small_cfg(workdir, model="GATE", time="t3", epochs=1)
+    cfg.overrides = dict(embed_dim=32, depths=2, num_heads=2)
+    results, state = run(cfg, progress=False)
+    assert set(results) == {"train", "val", "test"}
+
+
 def test_cosine_lr_matches_torch():
     torch = pytest.importorskip("torch")
     from sl_hwgat_tpu.train.state import cosine_annealing_lr
