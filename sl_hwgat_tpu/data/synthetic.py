@@ -36,8 +36,12 @@ def write_synthetic_dataset(root: str, dataset_name: str = "SYNTH",
             vid = f"c{cls:03d}_{i}"
             t = int(rng.integers(frames[0], frames[1]))
             clip = make_clip(rng, t)
-            # class-dependent offset so the task is learnable
-            clip[:, :, 0] += 0.1 * np.sin(cls) * np.linspace(0, 1, t)[:, None]
+            # Class signal: frequency-coded oscillation of the hand joints'
+            # y-coordinate — invariant to RandomFlip (which negates x only)
+            # and to temporal resampling (frequency ratio is preserved).
+            phase = rng.uniform(0, 2 * np.pi)
+            wave = 0.08 * np.sin(2 * np.pi * (1 + cls) * np.linspace(0, 1, t) + phase)
+            clip[:, 9:29, 1] += wave[:, None]
             data_map[vid] = np.clip(clip, 0.0, 1.0)
             vid_class[vid] = cls
             split = "train" if i < clips_per_class - 2 else ("val" if i == clips_per_class - 2 else "test")

@@ -93,6 +93,9 @@ class WindowedMSA(nn.Module):
     # 'auto' → fused Pallas kernel on TPU, jnp stacked path elsewhere;
     # 'stacked' is also the right choice under GSPMD sharding (partitionable).
     attn_impl: str = "auto"
+    # 'float32' (exact reference parity) or 'bfloat16' (fast path: q/k/v and
+    # the AV matmul in bf16, scores/softmax accumulated in f32).
+    attn_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -104,6 +107,8 @@ class WindowedMSA(nn.Module):
         qkv = nn.Dense(3 * d, kernel_init=DENSE_INIT, name="qkv")(x)
         qkv = qkv.reshape(g, n, 3, h, dh).transpose(2, 0, 3, 1, 4)  # (3, G, H, N, dh)
         q, k, v = (t.reshape(g * h, n, dh) for t in (qkv[0], qkv[1], qkv[2]))
+        if self.attn_dtype == "bfloat16":
+            q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
 
         prune_u = None
         if self.prune and train:
@@ -159,7 +164,7 @@ class WindowedMSA(nn.Module):
             parts.append(attend(qt, kt, vt, tail_adj).reshape(-1, 1, per_f, n, dh))
             out = jnp.concatenate(parts, axis=1).reshape(u, n, dh)
 
-        out = out.reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)
+        out = out.astype(x.dtype).reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)
         out = nn.Dense(d, kernel_init=DENSE_INIT, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
@@ -179,6 +184,7 @@ class PartAttentionBlock(nn.Module):
     ff_ratio: float = 2.0
     prune: bool = True
     attn_impl: str = "auto"
+    attn_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -204,6 +210,7 @@ class PartAttentionBlock(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             attn_impl=self.attn_impl,
+            attn_dtype=self.attn_dtype,
             name="attn",
         )(xw, train=train)
         x = window_reverse(xw, self.window_size, self.temporal_patch, f_total, k)
@@ -237,6 +244,7 @@ class HWGATE(nn.Module):
     ff_ratio: float = 2.0
     prune_attn: bool = True
     attn_impl: str = "auto"
+    attn_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -268,6 +276,7 @@ class HWGATE(nn.Module):
                     ff_ratio=self.ff_ratio,
                     prune=self.prune_attn,
                     attn_impl=self.attn_impl,
+                    attn_dtype=self.attn_dtype,
                     name=f"layers_{i}_blocks_{j}",
                 )(x, train=train)
             if i < num_layers - 1:

@@ -51,16 +51,25 @@ def _masked_attn_matrix(s, tile_adj, unit_blk, prune_u, zero_quirk):
     return a / jnp.sum(a, axis=-1, keepdims=True), s
 
 
+def _sddmm(q, k, scale):
+    """scale·q @ kᵀ without materializing the transpose (MXU contraction on
+    the shared head-dim axis)."""
+    return jax.lax.dot_general(
+        q * jnp.asarray(scale, q.dtype), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _fwd_kernel(u_ref, q_ref, k_ref, v_ref, adj_ref, blk_ref, o_ref,
                 *, scale, zero_quirk, prune, tiles_per_step):
     adj = adj_ref[:]
     blk = blk_ref[:]
     pu = u_ref[0] if prune else None
     for g in range(tiles_per_step):
-        q = q_ref[g]
-        s = jnp.dot(q * scale, k_ref[g].T, preferred_element_type=jnp.float32)
+        v = v_ref[g]
+        s = _sddmm(q_ref[g], k_ref[g], scale)
         a, _ = _masked_attn_matrix(s, adj, blk, pu, zero_quirk)
-        o_ref[g] = jnp.dot(a, v_ref[g], preferred_element_type=jnp.float32)
+        o_ref[g] = jnp.dot(a.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
@@ -72,19 +81,29 @@ def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
         q = q_ref[g]
         k = k_ref[g]
         v = v_ref[g]
-        do = do_ref[g]
-        s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+        dt = q.dtype
+        do = do_ref[g].astype(dt)
+        s = _sddmm(q, k, scale)
         a, s_masked = _masked_attn_matrix(s, adj, blk, pu, zero_quirk)
-        dv_ref[g] = jnp.dot(a.T, do, preferred_element_type=jnp.float32)
-        da = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        a_lp = a.astype(dt)
+        # dV = Aᵀ dO ; dA = dO Vᵀ — expressed as dot_generals (no transposes)
+        dv_ref[g] = jax.lax.dot_general(
+            a_lp, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dt)
+        da = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
         ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
         # gradient flows only through entries that kept their raw score
         # (masked / zero / pruned entries were replaced by constants; the
         # prune mask itself is detached in the reference, HWGATE.py:95)
         passthrough = (s_masked == s).astype(jnp.float32)
-        ds = ds * passthrough
-        dq_ref[g] = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-        dk_ref[g] = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+        ds = (ds * passthrough).astype(dt)
+        dq_ref[g] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dt)
+        dk_ref[g] = (
+            jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        ).astype(dt)
 
 
 def _pad_stack(q, k, v, n, pad_tokens, stack):
@@ -110,7 +129,8 @@ def _tile_masks(adj, n, np_, stack):
     return tile_adj, unit_blk
 
 
-def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret):
+def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
+          out_dtype=jnp.float32):
     grid = (t // tiles_per_step,)
     tile_spec = pl.BlockSpec(
         (tiles_per_step, sn, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -120,7 +140,7 @@ def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret):
     n_tensor_in = len(args) - 3  # minus scalar u and the two masks
     in_specs = [scalar_spec] + [tile_spec] * n_tensor_in + [mask_spec, mask_spec]
     out_specs = tuple([tile_spec] * n_out) if n_out > 1 else tile_spec
-    shape = jax.ShapeDtypeStruct((t, sn, dh), jnp.float32)
+    shape = jax.ShapeDtypeStruct((t, sn, dh), out_dtype)
     out_shape = tuple([shape] * n_out) if n_out > 1 else shape
     return pl.pallas_call(
         kernel,
@@ -177,7 +197,7 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk, res, g)
     dq, dk, dv = _call(
         kern, 3, t, sn, dh, tiles_per_step,
         (u_val, qs, ks, vs, gs, jnp.asarray(tile_adj), jnp.asarray(unit_blk)),
-        _interpret(),
+        _interpret(), out_dtype=q.dtype,
     )
 
     def unstack(x):
