@@ -106,30 +106,35 @@ def main():
     dev = jax.devices()[0]
     batch = 16
     ds = DATASET_PARAMS["FDMSE-ISL"]
-    model = build_model("HWGATE", ds, 2)
-
-    class Cfg:
-        seed = 0
-        optimizer_type = "adamw"
-        lr = 5e-4
-
-    state, optimizer = init_state(model, Cfg, (ds["src_len"], 64, 2), ("dropout", "prune"))
-    train_step, _ = make_steps(
-        model, optimizer, rng_streams=("dropout", "prune"), donate=False
-    )
-
     r = np.random.default_rng(0)
-    x = jnp.asarray(r.normal(size=(batch, ds["src_len"], 64, 2)).astype(np.float32))
-    y = jnp.asarray(r.integers(0, ds["num_class"], size=(batch,)).astype(np.int32))
-    valid = jnp.ones((batch,), jnp.float32)
-    key = jax.random.PRNGKey(0)
 
-    def step(carry):
-        variables, opt_state = carry
-        v, o, loss, c, n = train_step(variables, opt_state, x, y, valid, key, 0, 0)
-        return (v, o)
+    # The full train-step measurement costs a ~4-min compile on the remote
+    # relay (no compile cache); it is opt-in so the headline kernel metric
+    # always lands within the driver's budget.
+    step_time = None
+    if os.environ.get("BENCH_FULL") == "1":
+        model = build_model("HWGATE", ds, 2)
 
-    step_time, _ = _timeit_chained(step, (state.variables, state.opt_state), warmup=2, iters=5)
+        class Cfg:
+            seed = 0
+            optimizer_type = "adamw"
+            lr = 5e-4
+
+        state, optimizer = init_state(model, Cfg, (ds["src_len"], 64, 2), ("dropout", "prune"))
+        train_step, _ = make_steps(
+            model, optimizer, rng_streams=("dropout", "prune"), donate=False
+        )
+        x = jnp.asarray(r.normal(size=(batch, ds["src_len"], 64, 2)).astype(np.float32))
+        y = jnp.asarray(r.integers(0, ds["num_class"], size=(batch,)).astype(np.int32))
+        valid = jnp.ones((batch,), jnp.float32)
+        key = jax.random.PRNGKey(0)
+
+        def step(carry):
+            variables, opt_state = carry
+            v, o, loss, c, n = train_step(variables, opt_state, x, y, valid, key, 0, 0)
+            return (v, o)
+
+        step_time, _ = _timeit_chained(step, (state.variables, state.opt_state), warmup=2, iters=5)
 
     # ---- headline: fused attention kernel at HWGATE stage-0 working set ----
     from sl_hwgat_tpu.graphs.adjacency import windowed_block_adj
@@ -143,12 +148,26 @@ def main():
         for _ in range(3)
     )
 
+    print("# bench: compiling f32 attention kernel...", file=sys.stderr, flush=True)
     attn_time = _timeit_inner_loop(
         lambda q: pallas_window_attention(q, ka, va, adj, scale=0.125, stack=4),
         qa, inner=30, outer=3,
     )
     edges = u_units * nnz
     edges_per_sec = edges / attn_time
+    print(f"# bench: f32 attention {attn_time*1e6:.0f}us", file=sys.stderr, flush=True)
+
+    # bf16 fast path (f32-accumulated); opt-in — its compile can be slow on
+    # the remote relay and the headline must always land.
+    attn_time_bf16 = None
+    if os.environ.get("BENCH_BF16") == "1":
+        kb, vb = ka.astype(jnp.bfloat16), va.astype(jnp.bfloat16)
+        attn_time_bf16 = _timeit_inner_loop(
+            lambda q: pallas_window_attention(
+                q, kb, vb, adj, scale=0.125, stack=4
+            ).astype(jnp.bfloat16),
+            qa.astype(jnp.bfloat16), inner=30, outer=3,
+        )
 
     # Roofline for this op on this chip: compute bound — dense matmul peak
     # over the supertile FLOPs; memory bound — HBM bandwidth over q/k/v/o
@@ -180,10 +199,17 @@ def main():
         "vs_baseline": round(edges_per_sec / roofline_edges_per_sec, 4),
     }
     print(json.dumps(result))
+    train_note = (
+        f"train_step={step_time*1000:.1f}ms clips/s={batch/step_time:.1f} "
+        if step_time is not None
+        else "train_step=skipped(BENCH_FULL=1 to enable; last measured 244ms/65.6clips/s at batch 16) "
+    )
     print(
         f"# device={dev.platform} attn_time={attn_time*1e6:.0f}us "
-        f"train_step={step_time*1000:.1f}ms clips/s={batch/step_time:.1f} "
-        f"matmul_peak={peak_flops/1e12:.1f}TF mem_bw={mem_bw/1e9:.0f}GB/s "
+        + (f"attn_bf16={attn_time_bf16*1e6:.0f}us ({edges/attn_time_bf16:.3e} edges/s) "
+           if attn_time_bf16 else "")
+        + train_note
+        + f"matmul_peak={peak_flops/1e12:.1f}TF mem_bw={mem_bw/1e9:.0f}GB/s "
         f"roofline={roofline_edges_per_sec:.3e} edges/s "
         f"(compute {t_compute*1e6:.0f}us / memory {t_memory*1e6:.0f}us bound)",
         file=sys.stderr,

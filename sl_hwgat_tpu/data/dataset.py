@@ -73,29 +73,43 @@ class Loader:
     def __len__(self):
         return -(-len(self.dataset) // self.batch_size)
 
+    prefetch: int = 2
+
+    def _collect(self, futures):
+        samples = [f.result() for f in futures]
+        feats = np.stack([s[0] for s in samples])
+        labels = np.asarray([s[1] for s in samples], dtype=np.int32)
+        valid = np.ones(len(samples), dtype=np.float32)
+        if len(samples) < self.batch_size:  # pad to fixed shape
+            pad = self.batch_size - len(samples)
+            feats = np.concatenate([feats, np.repeat(feats[-1:], pad, 0)])
+            labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
+            valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+        return feats, labels, valid
+
     def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Batches with ``prefetch``-deep pipelining: samples for the next
+        batches transform in worker threads while the caller consumes the
+        current batch (host-side analogue of double-buffered device feeding)."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng(np.random.SeedSequence([self.seed, epoch])).shuffle(order)
 
-        def fetch(i):
-            return self.dataset.get(int(i), epoch)
-
         bs = self.batch_size
+        starts = list(range(0, n, bs))
         with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
-            for start in range(0, n, bs):
-                idx = order[start : start + bs]
-                samples = list(pool.map(fetch, idx))
-                feats = np.stack([s[0] for s in samples])
-                labels = np.asarray([s[1] for s in samples], dtype=np.int32)
-                valid = np.ones(len(samples), dtype=np.float32)
-                if len(samples) < bs:  # pad to fixed shape
-                    pad = bs - len(samples)
-                    feats = np.concatenate([feats, np.repeat(feats[-1:], pad, 0)])
-                    labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
-                    valid = np.concatenate([valid, np.zeros(pad, np.float32)])
-                yield feats, labels, valid
+            def submit(s):
+                return [pool.submit(self.dataset.get, int(i), epoch) for i in order[s : s + bs]]
+
+            pending = [submit(s) for s in starts[: self.prefetch + 1]]
+            next_submit = min(self.prefetch + 1, len(starts))
+            for _ in starts:
+                futures = pending.pop(0)
+                if next_submit < len(starts):
+                    pending.append(submit(starts[next_submit]))
+                    next_submit += 1
+                yield self._collect(futures)
 
 
 def load_artifacts(cfg_data):

@@ -109,6 +109,25 @@ def test_gate_cli_train(workdir):
     assert set(results) == {"train", "val", "test"}
 
 
+def test_decoupled_gcn_cli_train(workdir):
+    """DropGraph rng stream + BN through the CLI."""
+    from sl_hwgat_tpu.cli import run
+
+    cfg = small_cfg(workdir, model="DecoupledGCN", time="t4", epochs=1)
+    cfg.overrides = dict(n_out_features=32, groups=4)
+    results, state = run(cfg, progress=False)
+    assert set(results) == {"train", "val", "test"}
+
+
+def test_transformer_cli_train(workdir):
+    from sl_hwgat_tpu.cli import run
+
+    cfg = small_cfg(workdir, model="Transformer", time="t5", epochs=1)
+    cfg.overrides = dict(d_model=64, dim_feedforward=128, num_encoder_layers=1)
+    results, state = run(cfg, progress=False)
+    assert set(results) == {"train", "val", "test"}
+
+
 def test_cosine_lr_matches_torch():
     torch = pytest.importorskip("torch")
     from sl_hwgat_tpu.train.state import cosine_annealing_lr

@@ -74,6 +74,42 @@ def test_param_tree_covers_reference(ref_model):
             assert np.shape(a) == np.shape(b), (col, p, np.shape(a), np.shape(b))
 
 
+def test_per_layer_activation_parity(ref_model):
+    """BASELINE.md north star: per-layer activations allclose vs the
+    reference with identical weights — every attention block's output."""
+    import torch
+
+    x = np.random.default_rng(3).normal(size=(2, 16, 64, 2)).astype(np.float32)
+
+    acts = {}
+
+    def hook(name):
+        def f(_m, _i, o):
+            acts[name] = o.detach().numpy()
+        return f
+
+    for i, layer in enumerate(ref_model.layers):
+        for j, blk in enumerate(layer.blocks):
+            blk.register_forward_hook(hook(f"layers_{i}_blocks_{j}"))
+    with torch.no_grad():
+        ref_model(torch.tensor(x))
+
+    ours = HWGATE(kp_dim=2, temporal_dim=DS["src_len"], num_classes=DS["num_class"])
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, hwgate_from_torch(sd))
+    _, state = ours.apply(
+        variables, jnp.asarray(x), train=False,
+        capture_intermediates=True, mutable=["intermediates"],
+    )
+    inter = state["intermediates"]
+    checked = 0
+    for name, want in acts.items():
+        got = np.asarray(inter[name]["__call__"][0])
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4, err_msg=name)
+        checked += 1
+    assert checked == 8  # depths (2,2,4)
+
+
 def test_train_mode_runs_with_prune_and_dropout():
     ours = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5)
     x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 16, 64, 2)), jnp.float32)
