@@ -128,6 +128,21 @@ def test_transformer_cli_train(workdir):
     assert set(results) == {"train", "val", "test"}
 
 
+def test_wgate_hgate_cli_train(workdir):
+    """Remaining zoo members through the CLI: banded WGATE (64-kp windowed
+    layout) and padded-supertile HGATE (29-kp skeleton layout)."""
+    from sl_hwgat_tpu.cli import run
+
+    for model, t, overrides in (
+        ("WGATE", "t6", dict(embed_dim=32, depths=1, num_heads=2)),
+        ("HGATE", "t7", dict(embed_dim=32, depths=(1, 1), num_heads=(2, 2))),
+    ):
+        cfg = small_cfg(workdir, model=model, time=t, epochs=1)
+        cfg.overrides = overrides
+        results, _ = run(cfg, progress=False)
+        assert set(results) == {"train", "val", "test"}, model
+
+
 def test_cosine_lr_matches_torch():
     torch = pytest.importorskip("torch")
     from sl_hwgat_tpu.train.state import cosine_annealing_lr
