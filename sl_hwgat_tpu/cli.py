@@ -29,6 +29,8 @@ def parser():
     p.add_argument("-k", "--topk", type=int, default=1)
     p.add_argument("--epochs", type=int, default=None, help="override epoch count")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--trace", type=str, default=None,
+                   help="capture a jax.profiler trace of the run into this directory")
     return p.parse_args()
 
 
@@ -147,7 +149,13 @@ def main():
     print(cfg.dataset)
     print("Model Name:-", cfg.save_model_path)
     print("Running Mode:-", cfg.mode)
-    run(cfg)
+    if args.trace:
+        from sl_hwgat_tpu.utils.profiling import trace
+
+        with trace(args.trace):
+            run(cfg)
+    else:
+        run(cfg)
 
 
 if __name__ == "__main__":

@@ -125,6 +125,24 @@ def test_random_flip():
     assert same or mirrored
 
 
+def test_eval_pipeline_golden_vs_reference(ref):
+    """The full deterministic eval pipeline (HandCorrection → Normalize →
+    TemporalSample → WindowCreate) matches the reference Compose exactly —
+    this is the tensor every eval forward pass consumes."""
+    from sl_hwgat_tpu.configs import build_eval_transform
+
+    x = clip(20, t=23, zero_hands=True)
+    ref_pipeline = ref.Compose([
+        ref.HandCorrection([9, 19, 7], [19, 29, 8]),
+        ref.NormalizeKeypoints(0, [3, 4]),
+        ref.TemporalSample(16),
+        ref.WindowCreate(16),
+    ])
+    want = ref_pipeline(x.copy())
+    got = build_eval_transform(16)(x.copy(), np.random.default_rng(0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_compose_train_pipeline_shapes():
     from sl_hwgat_tpu.configs import build_train_transform
 
