@@ -65,11 +65,17 @@ def _fwd_kernel(u_ref, q_ref, k_ref, v_ref, adj_ref, blk_ref, o_ref,
     adj = adj_ref[:]
     blk = blk_ref[:]
     pu = u_ref[0] if prune else None
-    for g in range(tiles_per_step):
+
+    def body(g, _):
         v = v_ref[g]
         s = _sddmm(q_ref[g], k_ref[g], scale)
         a, _ = _masked_attn_matrix(s, adj, blk, pu, zero_quirk)
         o_ref[g] = jnp.dot(a.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return 0
+
+    # fori_loop (not a python unroll): Mosaic compile time stays constant in
+    # tiles_per_step, which the remote-compile relay makes load-bearing.
+    jax.lax.fori_loop(0, tiles_per_step, body, 0)
 
 
 def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
@@ -77,7 +83,8 @@ def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
     adj = adj_ref[:]
     blk = blk_ref[:]
     pu = u_ref[0] if prune else None
-    for g in range(tiles_per_step):
+
+    def body(g, _):
         q = q_ref[g]
         k = k_ref[g]
         v = v_ref[g]
@@ -104,6 +111,9 @@ def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
             jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         ).astype(dt)
+        return 0
+
+    jax.lax.fori_loop(0, tiles_per_step, body, 0)
 
 
 def _pad_stack(q, k, v, n, pad_tokens, stack):
@@ -216,8 +226,9 @@ def _pick_tiles_per_step(t: int, sn: int, dh: int) -> int:
     Accounting per tile: up to 8 streamed operands (q,k,v,do,o,dq,dk,dv) ×
     double buffering, plus per-iteration (SN,SN) score/attention intermediates
     the unrolled loop keeps live — budget conservatively."""
-    per_tile = 2 * 8 * sn * dh * 4 + 3 * sn * sn * 4
-    budget = 8 * 1024 * 1024
+    per_tile = 2 * 8 * sn * dh * 4          # streamed operands × double buffer
+    fixed = 3 * sn * sn * 4                  # per-iteration score intermediates
+    budget = 8 * 1024 * 1024 - fixed
     best = max(1, min(t, budget // max(per_tile, 1)))
     while t % best:
         best -= 1
