@@ -51,6 +51,23 @@ def _masked_attn_matrix(s, tile_adj, unit_blk, prune_u, zero_quirk):
     return a / jnp.sum(a, axis=-1, keepdims=True), s
 
 
+def _tile_loop(body, tiles_per_step):
+    """Iterate the per-supertile body.
+
+    Default: python unroll (known-good Mosaic path on the v5e remote-compile
+    relay). ``PALLAS_ATTN_FORI=1`` switches to ``lax.fori_loop`` with dynamic
+    ref indexing — constant compile time in tiles_per_step, but unvalidated
+    on-hardware compile behavior (see ROADMAP).
+    """
+    import os
+
+    if os.environ.get("PALLAS_ATTN_FORI") == "1":
+        jax.lax.fori_loop(0, tiles_per_step, body, 0)
+    else:
+        for g in range(tiles_per_step):
+            body(g, 0)
+
+
 def _sddmm(q, k, scale):
     """scale·q @ kᵀ without materializing the transpose (MXU contraction on
     the shared head-dim axis)."""
@@ -73,9 +90,7 @@ def _fwd_kernel(u_ref, q_ref, k_ref, v_ref, adj_ref, blk_ref, o_ref,
         o_ref[g] = jnp.dot(a.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return 0
 
-    # fori_loop (not a python unroll): Mosaic compile time stays constant in
-    # tiles_per_step, which the remote-compile relay makes load-bearing.
-    jax.lax.fori_loop(0, tiles_per_step, body, 0)
+    _tile_loop(body, tiles_per_step)
 
 
 def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
@@ -113,7 +128,7 @@ def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
         ).astype(dt)
         return 0
 
-    jax.lax.fori_loop(0, tiles_per_step, body, 0)
+    _tile_loop(body, tiles_per_step)
 
 
 def _pad_stack(q, k, v, n, pad_tokens, stack):
@@ -226,9 +241,11 @@ def _pick_tiles_per_step(t: int, sn: int, dh: int) -> int:
     Accounting per tile: up to 8 streamed operands (q,k,v,do,o,dq,dk,dv) ×
     double buffering, plus per-iteration (SN,SN) score/attention intermediates
     the unrolled loop keeps live — budget conservatively."""
-    per_tile = 2 * 8 * sn * dh * 4          # streamed operands × double buffer
-    fixed = 3 * sn * sn * 4                  # per-iteration score intermediates
-    budget = 8 * 1024 * 1024 - fixed
+    # Validated on-hardware configuration (bench completes reliably): the
+    # per-tile term deliberately includes the score intermediates so the
+    # unrolled default lands at tg≈8 for SN=128/dh=64.
+    per_tile = 2 * 8 * sn * dh * 4 + 3 * sn * sn * 4
+    budget = 8 * 1024 * 1024
     best = max(1, min(t, budget // max(per_tile, 1)))
     while t % best:
         best -= 1
