@@ -1,15 +1,17 @@
 """Benchmark harness — runs on the real TPU chip (driver-invoked each round).
 
 Headline metric (BASELINE.json north star): adjacency-masked attention
-(SDDMM + edge-softmax + SpMM) throughput in edges/s through the fused Pallas
-window-attention kernel at the flagship HWGATE stage-0 working set, with
-``vs_baseline`` reported as the fraction of this op's *self-calibrated
-roofline* on the same chip — max(compute bound from measured matmul peak,
-memory bound from measured copy bandwidth) — so the ≥80%-of-roofline target
-is directly readable. The full HWGATE train-step throughput (clips/s) is
-printed as a stderr comment for tracking.
+(SDDMM + edge-softmax + SpMM) throughput in edges/s at the flagship HWGATE
+stage-0 working set, with ``vs_baseline`` the fraction of this op's
+self-calibrated roofline on this chip (max of compute bound from measured
+matmul peak and memory bound from measured HBM bandwidth) — the ≥80% target
+is directly readable.
 
-Prints exactly ONE JSON line:
+Robustness: the remote-compile relay on this image degrades within a session
+(compiles go from ~1-2 min to wedged), so each kernel measurement runs in a
+child process (`bench_kernel.py`) under a timeout; if the fused Pallas kernel
+compile wedges, the XLA stacked path is measured instead and the metric is
+labeled accordingly. Prints exactly ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 """
 
@@ -17,201 +19,87 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
-import time
 
-import numpy as np
-
-# Persistent compilation cache: the remote relay compiles at ~40-200s/graph,
-# so cold bench runs are compile-dominated; warm runs reuse the cache.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Chip calibration constants, measured on this v5e chip 2026-08-17 with ops
-# repeated inside one jit (see git history for the probe): dense f32 matmul
-# peak and HBM copy bandwidth. Re-measure with BENCH_CALIBRATE=1.
+# repeated inside one jit (see git history for the probes): dense f32 matmul
+# peak and HBM copy bandwidth.
 CAL_PEAK_FLOPS_F32 = 26.5e12
 CAL_MEM_BW = 1.05e12
 
-
-def _timeit_chained(step_fn, carry, warmup=2, iters=10):
-    """Time ``carry = step_fn(carry)`` with real data dependencies between
-    iterations and a host value-fetch at the end (``block_until_ready`` does
-    not reliably block through the axon remote-execution relay, so we force a
-    device→host transfer of a scalar derived from the carry)."""
-    import jax
-    import jax.numpy as jnp
-
-    def sync(c):
-        leaf = jax.tree.leaves(c)[0] if not hasattr(c, "ravel") else c
-        return float(jnp.sum(leaf))
-
-    for _ in range(warmup):
-        carry = step_fn(carry)
-    sync(carry)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step_fn(carry)
-    sync(carry)
-    return (time.perf_counter() - t0) / iters, carry
+UNITS = 12288  # HWGATE stage 0 at batch 16: 16·96 groups × 4 windows × 2 heads
+CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", "420"))
 
 
-def _timeit_inner_loop(body_fn, x0, inner=50, outer=3):
-    """Per-op time with the op repeated ``inner``× INSIDE one jitted call
-    (fori_loop on a chained carry) — amortizes the ~2ms per-dispatch latency
-    the remote-execution relay adds, which would otherwise swamp sub-ms ops."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, inner, lambda i, y: body_fn(y), x)
-
-    y = loop(x0)
-    float(jnp.sum(y))
-    t0 = time.perf_counter()
-    for _ in range(outer):
-        y = loop(y)
-    float(jnp.sum(y))
-    return (time.perf_counter() - t0) / (outer * inner)
-
-
-def hwgate_attention_edge_ops(batch: int, frames: int = 192, depths=(2, 2, 4),
-                              heads=(2, 4, 8), tp: int = 2, nw: int = 4) -> int:
-    """Edges touched by one HWGATE forward pass (SDDMM+SpMM pairs).
-
-    Per (window, head) unit: nnz of the 32×32 block mask = 2·(16 + 2·25) + 2·16
-    = 164 edges (spatial+self per temporal patch, ±1 temporal identity).
-    """
-    from sl_hwgat_tpu.graphs.adjacency import windowed_block_adj
-
-    nnz = int((windowed_block_adj(tp)[0] != 0).sum())
-    total = 0
-    f = frames
-    for d_i, h_i in zip(depths, heads):
-        f_groups = f // tp
-        total += d_i * batch * f_groups * nw * h_i * nnz
-        f //= tp
-    return total
+def run_child(impl: str):
+    """Measure one implementation in a child process; None on wedge/failure."""
+    cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "bench_kernel.py"),
+           impl, str(UNITS)]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# bench: {impl} child timed out after {CHILD_TIMEOUT_S}s", file=sys.stderr)
+        return None
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    print(f"# bench: {impl} child failed (rc={out.returncode}): "
+          f"{out.stderr.strip().splitlines()[-3:] if out.stderr else ''}", file=sys.stderr)
+    return None
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    measured = run_child("pallas")
+    impl = "pallas"
+    if measured is None:
+        measured = run_child("stacked")
+        impl = "stacked"
+    if measured is None:
+        print(json.dumps({
+            "metric": "fused_window_attention_edges_per_sec",
+            "value": 0.0, "unit": "edges/s", "vs_baseline": 0.0,
+        }))
+        print("# bench: both kernel children failed — TPU relay unavailable", file=sys.stderr)
+        sys.exit(1)
 
-    from sl_hwgat_tpu.constants import DATASET_PARAMS
-    from sl_hwgat_tpu.models import build_model
-    from sl_hwgat_tpu.train.loop import init_state, make_steps
-    from sl_hwgat_tpu.train.state import make_optimizer
+    per_op_s = measured["time_us"] / 1e6
+    edges = measured["edges"]
+    edges_per_sec = edges / per_op_s
 
-    dev = jax.devices()[0]
-    batch = 16
-    ds = DATASET_PARAMS["FDMSE-ISL"]
-    r = np.random.default_rng(0)
-
-    # The full train-step measurement costs a ~4-min compile on the remote
-    # relay (no compile cache); it is opt-in so the headline kernel metric
-    # always lands within the driver's budget.
-    step_time = None
-    if os.environ.get("BENCH_FULL") == "1":
-        model = build_model("HWGATE", ds, 2)
-
-        class Cfg:
-            seed = 0
-            optimizer_type = "adamw"
-            lr = 5e-4
-
-        state, optimizer = init_state(model, Cfg, (ds["src_len"], 64, 2), ("dropout", "prune"))
-        train_step, _ = make_steps(
-            model, optimizer, rng_streams=("dropout", "prune"), donate=False
-        )
-        x = jnp.asarray(r.normal(size=(batch, ds["src_len"], 64, 2)).astype(np.float32))
-        y = jnp.asarray(r.integers(0, ds["num_class"], size=(batch,)).astype(np.int32))
-        valid = jnp.ones((batch,), jnp.float32)
-        key = jax.random.PRNGKey(0)
-
-        def step(carry):
-            variables, opt_state = carry
-            v, o, loss, c, n = train_step(variables, opt_state, x, y, valid, key, 0, 0)
-            return (v, o)
-
-        step_time, _ = _timeit_chained(step, (state.variables, state.opt_state), warmup=2, iters=5)
-
-    # ---- headline: fused attention kernel at HWGATE stage-0 working set ----
-    from sl_hwgat_tpu.graphs.adjacency import windowed_block_adj
-    from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
-
-    adj = windowed_block_adj(2)[0]
-    nnz = int((adj != 0).sum())
-    u_units, n_tok, dh = batch * (ds["src_len"] // 2) * 4 * 2, 32, 64
-    qa, ka, va = (
-        jnp.asarray(r.normal(size=(u_units, n_tok, dh)).astype(np.float32))
-        for _ in range(3)
-    )
-
-    print("# bench: compiling f32 attention kernel...", file=sys.stderr, flush=True)
-    attn_time = _timeit_inner_loop(
-        lambda q: pallas_window_attention(q, ka, va, adj, scale=0.125, stack=4),
-        qa, inner=30, outer=3,
-    )
-    edges = u_units * nnz
-    edges_per_sec = edges / attn_time
-    print(f"# bench: f32 attention {attn_time*1e6:.0f}us", file=sys.stderr, flush=True)
-
-    # bf16 fast path (f32-accumulated); opt-in — its compile can be slow on
-    # the remote relay and the headline must always land.
-    attn_time_bf16 = None
-    if os.environ.get("BENCH_BF16") == "1":
-        kb, vb = ka.astype(jnp.bfloat16), va.astype(jnp.bfloat16)
-        attn_time_bf16 = _timeit_inner_loop(
-            lambda q: pallas_window_attention(
-                q, kb, vb, adj, scale=0.125, stack=4
-            ).astype(jnp.bfloat16),
-            qa.astype(jnp.bfloat16), inner=30, outer=3,
-        )
-
-    # Roofline for this op on this chip: compute bound — dense matmul peak
-    # over the supertile FLOPs; memory bound — HBM bandwidth over q/k/v/o
-    # bytes. Calibration constants measured once (header); BENCH_CALIBRATE=1
-    # re-measures.
-    if os.environ.get("BENCH_CALIBRATE") == "1":
-        m = 4096
-        a = jnp.asarray(r.normal(size=(m, m)).astype(np.float32) / m)
-        mm_time = _timeit_inner_loop(lambda b: a @ b, a, inner=20, outer=3)
-        peak_flops = 2 * m**3 / mm_time
-        big = jnp.asarray(r.normal(size=(64 * 1024 * 1024 // 4,)).astype(np.float32))
-        cp_time = _timeit_inner_loop(lambda x: x + 1.0, big, inner=50, outer=3)
-        mem_bw = 2 * big.size * 4 / cp_time  # read + write
-    else:
-        peak_flops, mem_bw = CAL_PEAK_FLOPS_F32, CAL_MEM_BW
-
-    tile_flops = 2 * 2 * 128 * 128 * 64          # 2 matmuls per supertile
-    tiles = u_units / 4
-    t_compute = tiles * tile_flops / peak_flops
-    io_bytes = 4 * u_units * n_tok * dh * 4      # q, k, v, o
-    t_memory = io_bytes / mem_bw
+    # Self-calibrated roofline: one supertile = 2 matmuls of 128×128×64 over
+    # 4 units; IO = q/k/v/o in f32.
+    tiles = UNITS / 4
+    tile_flops = 2 * 2 * 128 * 128 * 64
+    t_compute = tiles * tile_flops / CAL_PEAK_FLOPS_F32
+    io_bytes = 4 * UNITS * 32 * 64 * 4
+    t_memory = io_bytes / CAL_MEM_BW
     roofline_time = max(t_compute, t_memory)
     roofline_edges_per_sec = edges / roofline_time
 
-    result = {
-        "metric": "fused_window_attention_edges_per_sec",
+    metric = "fused_window_attention_edges_per_sec" if impl == "pallas" \
+        else "stacked_window_attention_edges_per_sec"
+    print(json.dumps({
+        "metric": metric,
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / roofline_edges_per_sec, 4),
-    }
-    print(json.dumps(result))
-    train_note = (
-        f"train_step={step_time*1000:.1f}ms clips/s={batch/step_time:.1f} "
-        if step_time is not None
-        else "train_step=skipped(BENCH_FULL=1 to enable; last measured 244ms/65.6clips/s at batch 16) "
-    )
+    }))
     print(
-        f"# device={dev.platform} attn_time={attn_time*1e6:.0f}us "
-        + (f"attn_bf16={attn_time_bf16*1e6:.0f}us ({edges/attn_time_bf16:.3e} edges/s) "
-           if attn_time_bf16 else "")
-        + train_note
-        + f"matmul_peak={peak_flops/1e12:.1f}TF mem_bw={mem_bw/1e9:.0f}GB/s "
+        f"# impl={impl} attn_time={measured['time_us']:.0f}us "
         f"roofline={roofline_edges_per_sec:.3e} edges/s "
-        f"(compute {t_compute*1e6:.0f}us / memory {t_memory*1e6:.0f}us bound)",
+        f"(compute {t_compute*1e6:.0f}us / memory {t_memory*1e6:.0f}us bound) "
+        f"calibration: matmul {CAL_PEAK_FLOPS_F32/1e12:.1f}TF, HBM {CAL_MEM_BW/1e9:.0f}GB/s. "
+        f"Last full-train-step measurement: 244ms (65.6 clips/s) at batch 16 "
+        f"FDMSE-ISL config, f32.",
         file=sys.stderr,
     )
 

@@ -1,0 +1,63 @@
+"""Child process for bench.py: measure one attention implementation on the
+TPU and print a single JSON line {impl, time_us, edges}.
+
+Run as: python bench_kernel.py {pallas|stacked} [units]
+Isolated in a subprocess so a wedged remote compile can be timed out by the
+parent without losing the whole benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    units = int(sys.argv[2]) if len(sys.argv) > 2 else 12288
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sl_hwgat_tpu import graphs
+    from sl_hwgat_tpu.ops.attention import stacked_window_attention
+    from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
+
+    adj = graphs.windowed_block_adj(2)[0]
+    nnz = int((adj != 0).sum())
+    n_tok, dh = 32, 64
+    r = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(units, n_tok, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    if impl == "pallas":
+        body = lambda q: pallas_window_attention(q, k, v, adj, scale=0.125, stack=4)
+    else:
+        body = lambda q: stacked_window_attention(q, k, v, adj, scale=0.125, stack=4)
+
+    inner, outer = 30, 3
+
+    @jax.jit
+    def loop(x):
+        return jax.lax.fori_loop(0, inner, lambda i, y: body(y), x)
+
+    y = loop(q)
+    float(jnp.sum(y))  # force completion through the relay
+    t0 = time.perf_counter()
+    for _ in range(outer):
+        y = loop(y)
+    float(jnp.sum(y))
+    per_op = (time.perf_counter() - t0) / (outer * inner)
+
+    print(json.dumps({"impl": impl, "time_us": per_op * 1e6, "edges": units * nnz}))
+
+
+if __name__ == "__main__":
+    main()
