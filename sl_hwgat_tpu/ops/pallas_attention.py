@@ -35,18 +35,23 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _masked_attn_matrix(s, tile_adj, unit_blk, prune_u, zero_quirk):
-    """Scores → attention probabilities with reference-exact masking."""
+def _masked_attn_matrix(s, allowed, fill, prune_u, zero_quirk):
+    """Scores → attention probabilities with reference-exact masking.
+
+    ``allowed``: {0,1} plane of in-unit adjacency edges. ``fill``: constant
+    plane of replacement scores — NEG for every in-unit entry (covers both
+    masked edges and the zero-score quirk) and 2·NEG for cross-unit/padded
+    entries. One compare + one and + one select replaces the two chained
+    ``where``s (VPU passes are a significant cost at 32-token windows).
+    """
     if prune_u is not None:
-        s_iso = jnp.where(unit_blk == 1, s, jnp.float32(UNIT_NEG))
+        unit = fill == jnp.float32(NEG)  # all in-unit entries carry fill == NEG
+        s_iso = jnp.where(unit, s, jnp.float32(UNIT_NEG))
         prob = jnp.exp(s_iso - jnp.max(s_iso, axis=-1, keepdims=True))
         prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
         s = jnp.where(prob > prune_u, 0.0, s)
-    if zero_quirk:
-        s = jnp.where((tile_adj == 0) | (s == 0), jnp.float32(NEG), s)
-    else:
-        s = jnp.where(tile_adj == 0, jnp.float32(NEG), s)
-    s = jnp.where(unit_blk == 0, jnp.float32(2 * NEG), s)
+    keep = (allowed != 0) & (s != 0) if zero_quirk else (allowed != 0)
+    s = jnp.where(keep, s, fill)
     a = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
     return a / jnp.sum(a, axis=-1, keepdims=True), s
 
@@ -77,26 +82,26 @@ def _sddmm(q, k, scale):
     )
 
 
-def _fwd_kernel(u_ref, q_ref, k_ref, v_ref, adj_ref, blk_ref, o_ref,
+def _fwd_kernel(u_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref, o_ref,
                 *, scale, zero_quirk, prune, tiles_per_step):
-    adj = adj_ref[:]
-    blk = blk_ref[:]
+    allowed = allowed_ref[:]
+    fill = fill_ref[:]
     pu = u_ref[0] if prune else None
 
     def body(g, _):
         v = v_ref[g]
         s = _sddmm(q_ref[g], k_ref[g], scale)
-        a, _ = _masked_attn_matrix(s, adj, blk, pu, zero_quirk)
+        a, _ = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
         o_ref[g] = jnp.dot(a.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return 0
 
     _tile_loop(body, tiles_per_step)
 
 
-def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
+def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref, fill_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, zero_quirk, prune, tiles_per_step):
-    adj = adj_ref[:]
-    blk = blk_ref[:]
+    allowed = allowed_ref[:]
+    fill = fill_ref[:]
     pu = u_ref[0] if prune else None
 
     def body(g, _):
@@ -106,7 +111,7 @@ def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, adj_ref, blk_ref,
         dt = q.dtype
         do = do_ref[g].astype(dt)
         s = _sddmm(q, k, scale)
-        a, s_masked = _masked_attn_matrix(s, adj, blk, pu, zero_quirk)
+        a, s_masked = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
         a_lp = a.astype(dt)
         # dV = Aᵀ dO ; dA = dO Vᵀ — expressed as dot_generals (no transposes)
         dv_ref[g] = jax.lax.dot_general(
@@ -143,15 +148,17 @@ def _pad_stack(q, k, v, n, pad_tokens, stack):
 
 
 def _tile_masks(adj, n, np_, stack):
+    """(allowed, fill) planes for one supertile (see ``_masked_attn_matrix``)."""
     adj_p = np.zeros((np_, np_), dtype=np.float32)
     adj_p[:n, :n] = np.asarray(adj, dtype=np.float32)
     valid = np.zeros((np_,), np.float32)
     valid[:n] = 1.0
     tok = np.tile(valid, stack)
     outer = tok[None, :] * tok[:, None]
-    tile_adj = np.kron(np.eye(stack, dtype=np.float32), adj_p) * outer
+    allowed = np.kron(np.eye(stack, dtype=np.float32), adj_p) * outer
     unit_blk = np.kron(np.eye(stack, dtype=np.float32), np.ones((np_, np_), np.float32)) * outer
-    return tile_adj, unit_blk
+    fill = np.where(unit_blk != 0, np.float32(NEG), np.float32(2 * NEG))
+    return allowed, fill
 
 
 def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
@@ -190,7 +197,7 @@ def _attention_fwd(q, k, v, u_val, prune, adj_key, scale, stack, pad_tokens, zer
     adj = _ADJ_CACHE[adj_key]
     u_units, n, dh = q.shape
     (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
-    tile_adj, unit_blk = _tile_masks(adj, n, np_, stack)
+    allowed_m, fill_m = _tile_masks(adj, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
     kern = functools.partial(
         _fwd_kernel, scale=scale, zero_quirk=zero_quirk, prune=prune,
@@ -198,7 +205,7 @@ def _attention_fwd(q, k, v, u_val, prune, adj_key, scale, stack, pad_tokens, zer
     )
     o = _call(
         kern, 1, t, sn, dh, tiles_per_step,
-        (u_val, qs, ks, vs, jnp.asarray(tile_adj), jnp.asarray(unit_blk)),
+        (u_val, qs, ks, vs, jnp.asarray(allowed_m), jnp.asarray(fill_m)),
         _interpret(),
     )
     out = o.reshape(u_units, np_, dh)[:, :n]
@@ -213,7 +220,7 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk, res, g)
     if np_ != n:
         g = jnp.pad(g, [(0, 0), (0, np_ - n), (0, 0)])
     gs = g.reshape(t, sn, dh)
-    tile_adj, unit_blk = _tile_masks(adj, n, np_, stack)
+    allowed_m, fill_m = _tile_masks(adj, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
     kern = functools.partial(
         _bwd_kernel, scale=scale, zero_quirk=zero_quirk, prune=prune,
@@ -221,7 +228,7 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk, res, g)
     )
     dq, dk, dv = _call(
         kern, 3, t, sn, dh, tiles_per_step,
-        (u_val, qs, ks, vs, gs, jnp.asarray(tile_adj), jnp.asarray(unit_blk)),
+        (u_val, qs, ks, vs, gs, jnp.asarray(allowed_m), jnp.asarray(fill_m)),
         _interpret(), out_dtype=q.dtype,
     )
 
