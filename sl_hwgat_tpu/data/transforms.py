@@ -152,6 +152,37 @@ class ShearTransform:
         return x + origin
 
 
+class ShearTransform3D:
+    """3D shear variant (unused by the default pipelines).
+    ≡ `dataTransform.py:162-198` — including its quirk of composing the
+    partial shear factors via ``a_mat @ b_mat @ c_mat`` where the three
+    aliased identity matrices accumulate writes."""
+
+    stochastic = True
+
+    def __init__(self, shear_std=0.2):
+        self.shear_std = shear_std
+
+    def __call__(self, data, rng):
+        origin = np.clip(rng.normal(0.5, 0.1, size=data.shape[2]), 0, 1)
+        x = data - origin
+        a, b, c = rng.normal(0, self.shear_std, size=3)
+        # Reference aliasing: a_mat, b_mat, c_mat all reference ONE matrix,
+        # so the later writes overwrite the earlier ones before the matmuls.
+        m = np.eye(3)
+        m[0, 1] = b
+        m[0, 2] = c
+        m[1, 0] = a
+        m[1, 2] = c
+        m[2, 0] = a
+        m[2, 1] = b
+        shear = m @ m @ m
+        # The reference assigns the (T,V,3) product into x[:, :, :2], which
+        # raises ValueError if ever called — we assign all three coords.
+        x[:, :, :3] = np.matmul(x[:, :, :3], shear)
+        return x + origin
+
+
 class RotationTransform:
     """Random 2D rotation (3D Euler path for C=3). ≡ `dataTransform.py:200-234`."""
 

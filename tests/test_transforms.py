@@ -125,6 +125,19 @@ def test_random_flip():
     assert same or mirrored
 
 
+def test_dwpose_process_golden(ref):
+    r = np.random.default_rng(21)
+    feat = r.uniform(0.1, 0.9, size=(12, 133, 3)).astype(np.float32)
+    # wrists near the bottom edge in some frames; low visibility in others
+    feat[2:5, 9, 1] = 0.99
+    feat[6:9, 10, 1] = 0.98
+    feat[0:3, 9, 2] = 0.1
+    feat[9:12, 10, 2] = 0.2
+    want = ref.DWPoseDataProcess()({"feat": feat.copy()})
+    got = T.DWPoseDataProcess()({"feat": feat.copy()})
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_eval_pipeline_golden_vs_reference(ref):
     """The full deterministic eval pipeline (HandCorrection → Normalize →
     TemporalSample → WindowCreate) matches the reference Compose exactly —
