@@ -31,6 +31,10 @@ def parser():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--trace", type=str, default=None,
                    help="capture a jax.profiler trace of the run into this directory")
+    p.add_argument("--attn-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="attention compute dtype (bfloat16 = fast path, f32-accumulated; "
+                        "validated loss-equivalent on synthetic training)")
     return p.parse_args()
 
 
@@ -146,6 +150,8 @@ def main():
         cfg.epochs = args.epochs
     if args.batch_size is not None:
         cfg.batch_size = args.batch_size
+    if args.attn_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):
+        cfg.overrides = dict(cfg.overrides, attn_dtype=args.attn_dtype)
     print(cfg.dataset)
     print("Model Name:-", cfg.save_model_path)
     print("Running Mode:-", cfg.mode)
