@@ -39,6 +39,35 @@ def main():
 
     if impl == "pallas":
         body = lambda q: pallas_window_attention(q, k, v, adj, scale=0.125, stack=4)
+    elif impl == "pallas_bf16":
+        kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+        body = lambda q: pallas_window_attention(
+            q.astype(jnp.bfloat16), kb, vb, adj, scale=0.125, stack=4)
+    elif impl == "matmul_only":
+        # upper bound: the two supertile matmuls without masking/softmax
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        T, SN, DH = units // 4, 128, 64
+        qs, ks, vs = (x.reshape(T, SN, DH) for x in (q, k, v))
+        TG = 8
+
+        def kern(q_ref, k_ref, v_ref, o_ref):
+            for g in range(TG):
+                s = jax.lax.dot_general(q_ref[g], k_ref[g], (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                o_ref[g] = jax.lax.dot_general(s, v_ref[g], (((1,), (0,)), ((), ())),
+                                               preferred_element_type=jnp.float32)
+
+        tile = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+        def mm(qq):
+            return pl.pallas_call(
+                kern, grid=(T // TG,), in_specs=[tile, tile, tile], out_specs=tile,
+                out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.float32),
+            )(qq, ks, vs)
+
+        body = lambda qq: mm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
     else:
         body = lambda q: stacked_window_attention(q, k, v, adj, scale=0.125, stack=4)
 

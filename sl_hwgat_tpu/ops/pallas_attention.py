@@ -248,6 +248,14 @@ def _pick_tiles_per_step(t: int, sn: int, dh: int) -> int:
     Accounting per tile: up to 8 streamed operands (q,k,v,do,o,dq,dk,dv) ×
     double buffering, plus per-iteration (SN,SN) score/attention intermediates
     the unrolled loop keeps live — budget conservatively."""
+    import os
+
+    override = os.environ.get("PALLAS_ATTN_TG")
+    if override:
+        tg = int(override)
+        while t % tg:
+            tg -= 1
+        return max(1, tg)
     # Validated on-hardware configuration (bench completes reliably): the
     # per-tile term deliberately includes the score intermediates so the
     # unrolled default lands at tg≈8 for SN=128/dh=64.
