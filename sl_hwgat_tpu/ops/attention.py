@@ -166,6 +166,8 @@ def banded_frame_attention(
     band_mask: jnp.ndarray,
     *,
     scale: float,
+    halo: tuple | None = None,
+    edge_valid: tuple | None = None,
 ) -> jnp.ndarray:
     """Additive-masked attention with block-tridiagonal (±1 frame) structure.
 
@@ -176,13 +178,26 @@ def banded_frame_attention(
 
     Replaces the reference's dense (F·V)² additive-mask attention
     (`WGATE.py:94-104`, `GATE.py:56-66`) with O(F·V·3V) score work.
+
+    Sharded use (frame axis split across devices): pass
+    ``halo = (left_k, left_v, right_k, right_v)`` — the neighbor shard's
+    boundary frame (G, H, 1, V, dh) each — and ``edge_valid = (left, right)``
+    {0,1} scalars marking whether a neighbor shard exists (0 at the global
+    clip boundary). See ``parallel/edge_partition.py``.
     """
     g, h, f, vtok, dh = q.shape
-    zeros = jnp.zeros_like(k[:, :, :1])
-    k_prev = jnp.concatenate([zeros, k[:, :, :-1]], axis=2)
-    k_next = jnp.concatenate([k[:, :, 1:], zeros], axis=2)
-    v_prev = jnp.concatenate([zeros, v[:, :, :-1]], axis=2)
-    v_next = jnp.concatenate([v[:, :, 1:], zeros], axis=2)
+    if halo is None:
+        zeros = jnp.zeros_like(k[:, :, :1])
+        lk = lv = rk = rv = zeros
+        left_exists = right_exists = jnp.float32(0.0)
+    else:
+        lk, lv, rk, rv = halo
+        left_exists, right_exists = edge_valid
+
+    k_prev = jnp.concatenate([lk, k[:, :, :-1]], axis=2)
+    k_next = jnp.concatenate([k[:, :, 1:], rk], axis=2)
+    v_prev = jnp.concatenate([lv, v[:, :, :-1]], axis=2)
+    v_next = jnp.concatenate([v[:, :, 1:], rv], axis=2)
 
     k_band = jnp.concatenate([k_prev, k, k_next], axis=3)   # (G,H,F,3V,dh)
     v_band = jnp.concatenate([v_prev, v, v_next], axis=3)
@@ -193,10 +208,11 @@ def banded_frame_attention(
     mask = jnp.concatenate([band_mask[0], band_mask[1], band_mask[2]], axis=-1)  # (V,3V)
     s = s + mask[None, None, None]
 
-    # Invalidate the out-of-range neighbor blocks at the clip boundaries.
+    # Invalidate the out-of-range neighbor blocks at the (local or global)
+    # clip boundaries; with a halo present the boundary is valid.
     fidx = jnp.arange(f)
-    left_invalid = (fidx == 0).astype(jnp.float32) * NEG      # (F,)
-    right_invalid = (fidx == f - 1).astype(jnp.float32) * NEG
+    left_invalid = (fidx == 0).astype(jnp.float32) * (1.0 - left_exists) * NEG
+    right_invalid = (fidx == f - 1).astype(jnp.float32) * (1.0 - right_exists) * NEG
     edge = jnp.concatenate(
         [
             jnp.broadcast_to(left_invalid[:, None], (f, vtok)),

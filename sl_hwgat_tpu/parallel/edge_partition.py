@@ -1,0 +1,70 @@
+"""Edge-partitioned attention with explicit boundary (halo) exchange.
+
+BASELINE.json config 5: batched skeleton graphs sharded by edges, boundary
+joint features exchanged between partitions and overlapped with aggregation.
+
+For this model family the spatio-temporal edge set decomposes as:
+- **windowed models** (HWGATE/HGATE): attention groups are disjoint edge
+  blocks → partitioning the (group, head) unit axis is an exact edge
+  partition with zero boundary traffic (handled by dp/sp sharding);
+- **banded models** (WGATE/GATE): the only cross-partition edges are the
+  same-joint ±1-frame links, so sharding the frame axis needs exactly one
+  boundary frame of K/V per direction — a ring halo exchange
+  (``jax.lax.ppermute`` over ICI), issued BEFORE the local band attention so
+  XLA overlaps the permute with the local score computation.
+
+``sharded_banded_frame_attention`` implements the banded case under
+``shard_map``; equality with the unsharded op is tested on the virtual CPU
+mesh (`tests/test_edge_partition.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax ≥ 0.6 exposes shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from sl_hwgat_tpu.ops.attention import banded_frame_attention
+
+
+def sharded_banded_frame_attention(q, k, v, band_mask, *, mesh: Mesh,
+                                   axis: str = "sp", scale: float):
+    """Frame-sharded banded attention with ±1-frame halo exchange.
+
+    q, k, v: (G, H, F, V, dh) with F divisible by the ``axis`` mesh size.
+    Returns the same result as the unsharded ``banded_frame_attention``.
+    """
+    n_shards = mesh.shape[axis]
+
+    def local(q, k, v, band):
+        idx = jax.lax.axis_index(axis)
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        # Boundary frames ride the ring: my last frame → right neighbor's
+        # left halo; my first frame → left neighbor's right halo. Issued
+        # up-front so the collective overlaps the local attention math.
+        left_k = jax.lax.ppermute(k[:, :, -1:], axis, perm=fwd)
+        left_v = jax.lax.ppermute(v[:, :, -1:], axis, perm=fwd)
+        right_k = jax.lax.ppermute(k[:, :, :1], axis, perm=bwd)
+        right_v = jax.lax.ppermute(v[:, :, :1], axis, perm=bwd)
+        left_exists = (idx > 0).astype(jnp.float32)
+        right_exists = (idx < n_shards - 1).astype(jnp.float32)
+        return banded_frame_attention(
+            q, k, v, band, scale=scale,
+            halo=(left_k, left_v, right_k, right_v),
+            edge_valid=(left_exists, right_exists),
+        )
+
+    spec = P(None, None, axis, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, P(None, None, None)),
+        out_specs=spec,
+    )(q, k, v, band_mask)
