@@ -54,7 +54,6 @@ def run(cfg, progress=True):
         run_epochs,
     )
     from sl_hwgat_tpu.train.reporting import gen_cm_w, read_class_map, show_final_result
-    from sl_hwgat_tpu.train.state import make_optimizer
 
     np.random.seed(cfg.seed)
 

@@ -13,7 +13,6 @@ with f32-exact results (`ops/attention.py::banded_frame_attention`).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 from flax import linen as nn
 
 from sl_hwgat_tpu.graphs.adjacency import additive_mask

@@ -20,8 +20,6 @@ mesh (`tests/test_edge_partition.py`).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

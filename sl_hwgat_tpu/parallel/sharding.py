@@ -17,7 +17,6 @@ GSPMD propagates through the model and emits ICI collectives.
 from __future__ import annotations
 
 import re
-from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

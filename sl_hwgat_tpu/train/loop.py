@@ -8,7 +8,6 @@ reused across epochs; batches carry a validity mask so shapes never change.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -7,7 +7,6 @@ hyperparameters, cosine-annealing LR with T_max=20 stepped once per epoch
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Any
 

@@ -38,9 +38,12 @@ def assert_finite_tree(tree, name: str = "tree"):
 def check_jit_purity(fn, *args, **kwargs):
     """Trace ``fn`` twice and verify identical jaxprs — catches Python-side
     state leaking into traced code (the moral equivalent of a race detector
-    for the XLA execution model)."""
-    j1 = jax.make_jaxpr(fn)(*args, **kwargs)
-    j2 = jax.make_jaxpr(fn)(*args, **kwargs)
+    for the XLA execution model).
+
+    Each trace goes through a fresh wrapper object: jax caches tracing per
+    function identity, which would otherwise hide the second trace."""
+    j1 = jax.make_jaxpr(lambda *a, **k: fn(*a, **k))(*args, **kwargs)
+    j2 = jax.make_jaxpr(lambda *a, **k: fn(*a, **k))(*args, **kwargs)
     if str(j1) != str(j2):
         raise RuntimeError("fn traces to different jaxprs on repeated tracing — "
                            "impure capture of Python state")
