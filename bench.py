@@ -40,13 +40,13 @@ LAST_GOOD = {"time_us": 2162.0, "edges": 12288 * 164, "impl": "pallas",
              "measured": "2026-08-17T09:45Z"}
 
 
-def run_child(impl: str):
+def run_child(impl: str, timeout_s: int | None = None):
     """Measure one implementation in a child process; None on wedge/failure."""
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "bench_kernel.py"),
            impl, str(UNITS)]
     try:
         out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
+            cmd, capture_output=True, text=True, timeout=timeout_s or CHILD_TIMEOUT_S,
         )
     except subprocess.TimeoutExpired:
         print(f"# bench: {impl} child timed out after {CHILD_TIMEOUT_S}s", file=sys.stderr)
@@ -67,7 +67,9 @@ def main():
     measured = run_child("pallas")
     impl = "pallas"
     if measured is None:
-        measured = run_child("stacked")
+        # A wedged relay usually wedges every compile; cap the fallback's
+        # budget so the JSON line always lands within ~10 min total.
+        measured = run_child("stacked", timeout_s=min(CHILD_TIMEOUT_S, 240))
         impl = "stacked"
     fresh = measured is not None
     if measured is None:
