@@ -70,6 +70,84 @@ def test_meta_then_preprocess_then_load(tmp_path):
     assert valid.sum() <= 4
 
 
+def test_wlasl_adapter(tmp_path):
+    import json
+
+    root = tmp_path / "WLASL"
+    os.makedirs(root / "videos", exist_ok=True)
+    content = [
+        {"gloss": "Book", "instances": [
+            {"video_id": "00001", "split": "train"},
+            {"video_id": "00002", "split": "test"},
+            {"video_id": "99999", "split": "train"},  # file missing → skipped
+        ]},
+        {"gloss": "drink", "instances": [{"video_id": "00003", "split": "val"}]},
+    ]
+    (root / "WLASL_v0.3.json").write_text(json.dumps(content))
+    for vid in ("00001", "00002", "00003"):
+        open(root / "videos" / f"{vid}.mp4", "w").close()
+    from sl_hwgat_tpu.data.meta_generators import wlasl_subset_meta
+
+    rows, vocab = wlasl_subset_meta(str(root), subset=2)
+    assert vocab == ["book", "drink"]
+    assert len(rows) == 3  # missing file dropped
+    assert {r[4] for r in rows} == {"train", "val", "test"}
+
+
+def test_autsl_adapter(tmp_path):
+    root = tmp_path / "AUTSL"
+    os.makedirs(root, exist_ok=True)
+    (root / "train_labels.csv").write_text("signer1_sample1,5\nsigner1_sample2,7\n")
+    (root / "test_labels.csv").write_text("signer2_sample1,5\n")
+    from sl_hwgat_tpu.data.meta_generators import autsl_meta
+
+    rows, vocab = autsl_meta(str(root))
+    assert vocab == ["5", "7"]
+    assert len(rows) == 3
+    assert rows[0][1].endswith("_color.mp4")
+
+
+def test_msasl_adapter(tmp_path):
+    import json
+
+    root = tmp_path / "MSASL"
+    os.makedirs(root, exist_ok=True)
+    (root / "MSASL_train.json").write_text(json.dumps([
+        {"label": 0, "clean_text": "Hello", "file": "a"},
+        {"label": 5, "clean_text": "rare", "file": "b"},   # beyond subset → dropped
+    ]))
+    (root / "MSASL_test.json").write_text(json.dumps([
+        {"label": 1, "clean_text": "world", "file": "c"},
+    ]))
+    from sl_hwgat_tpu.data.meta_generators import msasl_subset_meta
+
+    rows, vocab = msasl_subset_meta(str(root), subset=2)
+    assert vocab == ["hello", "world"]
+    assert len(rows) == 2
+
+
+def test_include_adapter(tmp_path):
+    root = tmp_path / "INC"
+    vids = root / "INCLUDE" / "Adjectives" / "1. happy"
+    os.makedirs(vids, exist_ok=True)
+    names = []
+    for i in range(4):
+        n = f"clip{i}.MOV"
+        open(vids / n, "w").close()
+        names.append(f"Adjectives/1. happy/{n}")
+    split = root / "Train_Test_Split"
+    os.makedirs(split, exist_ok=True)
+    header = "a,b,c,path\n"
+    (split / "train_include.csv").write_text(header + "".join(f"x,y,z,{n}\n" for n in names[:3]))
+    (split / "test_include.csv").write_text(header + f"x,y,z,{names[3]}\n")
+    from sl_hwgat_tpu.data.meta_generators import include_meta
+
+    rows, vocab = include_meta(str(root), seed=0)
+    assert vocab == ["happy"]
+    assert len(rows) == 4
+    assert {r[4] for r in rows} == {"train", "val", "test"}
+
+
 def test_lsa64_adapter(tmp_path):
     root = tmp_path / "LSA64"
     os.makedirs(root / "all", exist_ok=True)
