@@ -111,6 +111,29 @@ def fdmse_meta(root: str, val_split: float = 0.1, seed: int | None = None) -> tu
     return _add_ids(by_class), vocab
 
 
+def fdmse_meta_from_csv(root: str, split_file: str) -> tuple[list, list]:
+    """FDMSE-ISL from the dataset's own metadata.csv, the reference's actual
+    adapter (`FDMSE_meta_gen.py`): zero-padded 7-digit ids, rows kept only
+    when the video file exists and the split field is non-trivial."""
+    rows, vocab = [], []
+    idx = 0
+    with open(split_file) as f:
+        reader = csv.reader(f)
+        next(reader)
+        for row in reader:
+            vid_path = os.path.join(row[1], row[2])
+            if not os.path.exists(os.path.join(root, vid_path)):
+                continue
+            cls = row[3]
+            if cls not in vocab:
+                vocab.append(cls)
+            if len(row[4]) > 1:
+                rows.append(["{:07d}".format(idx), vid_path, row[2], cls, row[4]])
+            idx += 1
+    vocab.sort()
+    return rows, vocab
+
+
 def wlasl_subset_meta(root: str, subset: int = 2000) -> tuple[list, list]:
     """WLASL-{100,300,1000,2000} from WLASL_v0.3.json. ≡ `WLASL_subset_meta_gen.py`."""
     with open(os.path.join(root, "WLASL_v0.3.json")) as f:

@@ -70,6 +70,27 @@ def test_meta_then_preprocess_then_load(tmp_path):
     assert valid.sum() <= 4
 
 
+def test_fdmse_csv_adapter(tmp_path):
+    root = tmp_path / "F"
+    os.makedirs(root / "vids" / "d", exist_ok=True)
+    for n in ("a.mp4", "b.mp4"):
+        open(root / "vids" / "d" / n, "w").close()
+    split = root / "metadata.csv"
+    split.write_text(
+        "id,dir,name,class,split\n"
+        "0,vids/d,a.mp4,hello,train\n"
+        "1,vids/d,b.mp4,world,test\n"
+        "2,vids/d,missing.mp4,ghost,train\n"   # file absent → dropped
+        "3,vids/d,a.mp4,hello,x\n"             # trivial split field → id consumed, row dropped
+    )
+    from sl_hwgat_tpu.data.meta_generators import fdmse_meta_from_csv
+
+    rows, vocab = fdmse_meta_from_csv(str(root), str(split))
+    assert vocab == ["hello", "world"]
+    assert [r[0] for r in rows] == ["0000000", "0000001"]
+    assert rows[0][1] == "vids/d/a.mp4"
+
+
 def test_wlasl_adapter(tmp_path):
     import json
 
