@@ -31,7 +31,7 @@ CAL_PEAK_FLOPS_F32 = 26.5e12
 CAL_MEM_BW = 1.05e12
 
 UNITS = 12288  # HWGATE stage 0 at batch 16: 16·96 groups × 4 windows × 2 heads
-CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", "360"))
+CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", "300"))
 
 # Last successful on-chip measurement (fused Pallas kernel, f32), kept as the
 # reporting fallback when the remote-compile relay is wedged — measuring 0.0
@@ -69,7 +69,7 @@ def main():
     if measured is None:
         # A wedged relay usually wedges every compile; cap the fallback's
         # budget so the JSON line always lands within ~10 min total.
-        measured = run_child("stacked", timeout_s=min(CHILD_TIMEOUT_S, 240))
+        measured = run_child("stacked", timeout_s=min(CHILD_TIMEOUT_S, 180))
         impl = "stacked"
     fresh = measured is not None
     if measured is None:
