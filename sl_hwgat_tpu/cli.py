@@ -31,6 +31,10 @@ def parser():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--trace", type=str, default=None,
                    help="capture a jax.profiler trace of the run into this directory")
+    p.add_argument("--ckpt-backend", type=str, default="pickle",
+                   choices=["pickle", "orbax"],
+                   help="checkpoint backend: pickle (single file) or orbax "
+                        "(async array I/O, multihost-safe)")
     p.add_argument("--attn-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="attention compute dtype (bfloat16 = fast path, f32-accumulated; "
@@ -149,6 +153,7 @@ def main():
         cfg.epochs = args.epochs
     if args.batch_size is not None:
         cfg.batch_size = args.batch_size
+    cfg.ckpt_backend = args.ckpt_backend
     if args.attn_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, attn_dtype=args.attn_dtype)
     print(cfg.dataset)

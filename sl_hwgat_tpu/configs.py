@@ -140,6 +140,7 @@ class RunConfig:
 
     input_root: str = "input"
     output_root: str = "output"
+    ckpt_backend: str = "pickle"   # 'pickle' (single file) | 'orbax' (async)
 
     # overridden in tests / small runs
     overrides: dict = field(default_factory=dict)

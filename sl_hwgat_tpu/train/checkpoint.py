@@ -25,9 +25,67 @@ from sl_hwgat_tpu.train import torch_import
 
 FORMAT_VERSION = 1
 
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async array I/O for large/multihost runs.
+#
+# Layout: the (variables, opt_state) pytree is flattened to a flat list of
+# arrays saved through Orbax (async, sharding-aware, multihost-safe), while
+# the treedef + scalar metadata (epoch/lr/history) go into a small pickle
+# sidecar ``<path>.meta``. Restoring unflattens with the pickled treedef, so
+# optax namedtuple structure survives the round trip exactly — no abstract
+# target tree is needed at read time.
+# ---------------------------------------------------------------------------
 
-def save_checkpoint(path: str, state, lr: float) -> None:
-    """≡ `utils.py:164-176`."""
+_ORBAX_CKPTR = None
+
+
+def _orbax():
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ORBAX_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ORBAX_CKPTR
+
+
+def wait_until_finished() -> None:
+    """Block until any in-flight async (Orbax) save has committed."""
+    if _ORBAX_CKPTR is not None:
+        _ORBAX_CKPTR.wait_until_finished()
+
+
+def _save_orbax(path: str, payload: dict) -> None:
+    import orbax.checkpoint as ocp
+
+    leaves, treedef = jax.tree.flatten((payload["variables"], payload["opt_state"]))
+    meta = {k: v for k, v in payload.items() if k not in ("variables", "opt_state")}
+    meta["treedef"] = treedef
+    ckptr = _orbax()
+    ckptr.wait_until_finished()  # one in-flight save at a time, oldest first
+    d = os.path.abspath(path)
+    ckptr.save(d, args=ocp.args.StandardSave({"leaves": leaves}), force=True)
+    tmp = d + ".meta.tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, d + ".meta")
+
+
+def _read_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    wait_until_finished()
+    d = os.path.abspath(path)
+    with open(d + ".meta", "rb") as f:
+        meta = pickle.load(f)
+    treedef = meta.pop("treedef")
+    restored = _orbax().restore(d, args=ocp.args.StandardRestore())
+    variables, opt_state = jax.tree.unflatten(treedef, restored["leaves"])
+    return {**meta, "variables": variables, "opt_state": opt_state}
+
+
+def save_checkpoint(path: str, state, lr: float, backend: str = "pickle") -> None:
+    """≡ `utils.py:164-176`. ``backend``: 'pickle' (single-file, default) or
+    'orbax' (async array I/O to a ``<path>/`` directory + ``<path>.meta``)."""
     variables, opt_state = state.to_numpy()
     payload = {
         "format_version": FORMAT_VERSION,
@@ -41,6 +99,11 @@ def save_checkpoint(path: str, state, lr: float) -> None:
         "val_acc_list": state.history["val_acc"],
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if backend == "orbax":
+        _save_orbax(path, payload)
+        return
+    if backend != "pickle":
+        raise ValueError(f"unknown checkpoint backend: {backend}")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -48,6 +111,11 @@ def save_checkpoint(path: str, state, lr: float) -> None:
 
 
 def read_checkpoint(path: str) -> dict:
+    """Read either backend's format (an Orbax checkpoint is a directory)."""
+    if os.path.isdir(path):
+        return _read_orbax(path)
+    if not os.path.exists(path) and os.path.isfile(path + ".meta"):
+        return _read_orbax(path)  # orbax dir pending async commit
     with open(path, "rb") as f:
         return pickle.load(f)
 

@@ -162,14 +162,18 @@ def run_epochs(model, cfg, state: TrainState, train_step, eval_step,
         hist["val_acc"].append(val_acc)
         state.epoch = epoch
 
+        backend = getattr(cfg, "ckpt_backend", "pickle")
         if val_loss < best_val_loss:
             best_val_loss = val_loss
-            ckpt_lib.save_checkpoint(f"{cfg.save_model_path}_best_loss.ckpt", state, cfg.lr)
+            ckpt_lib.save_checkpoint(f"{cfg.save_model_path}_best_loss.ckpt", state,
+                                     cfg.lr, backend=backend)
         if val_acc > best_val_acc:
             best_val_acc = val_acc
-            ckpt_lib.save_checkpoint(f"{cfg.save_model_path}_best_acc.ckpt", state, cfg.lr)
+            ckpt_lib.save_checkpoint(f"{cfg.save_model_path}_best_acc.ckpt", state,
+                                     cfg.lr, backend=backend)
         if epoch > 0 and epoch % cfg.save_interval == 0:
-            ckpt_lib.save_checkpoint(f"{cfg.save_model_path}_{epoch}.ckpt", state, cfg.lr)
+            ckpt_lib.save_checkpoint(f"{cfg.save_model_path}_{epoch}.ckpt", state,
+                                     cfg.lr, backend=backend)
 
         if progress is not None:
             progress(epoch, dict(train_loss=train_loss, train_acc=train_acc,
@@ -182,6 +186,7 @@ def run_epochs(model, cfg, state: TrainState, train_step, eval_step,
                          "accuracy", cfg.save_acc_curve_path)
         if cfg.early_stopping and early_stopper is not None and early_stopper.early_stop(val_acc):
             break
+    ckpt_lib.wait_until_finished()  # commit any in-flight async (orbax) save
     return state
 
 
