@@ -39,17 +39,31 @@ def main():
 
     if impl == "pallas":
         body = lambda q: pallas_window_attention(q, k, v, adj, scale=0.125, stack=4)
+    elif impl == "pallas_dual":
+        # dual-mask (tail-shift) mode: per_f=32 units/group, 3 groups
+        tail = adj * (np.arange(32)[:, None] % 2 == np.arange(32)[None, :] % 2)
+        body = lambda q: pallas_window_attention(
+            q, k, v, adj, scale=0.125, stack=4,
+            tail_adj=tail, units_per_group=32, groups=3)
     elif impl == "pallas_bf16":
         kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
         body = lambda q: pallas_window_attention(
             q.astype(jnp.bfloat16), kb, vb, adj, scale=0.125, stack=4)
-    elif impl == "matmul_only":
-        # upper bound: the two supertile matmuls without masking/softmax
+    elif impl in ("matmul_only", "matmul_k128"):
+        # upper bound: the two supertile matmuls without masking/softmax.
+        # matmul_k128 pads the contraction dim 64→128 with zeros: if the time
+        # is unchanged, the MXU is latency/op-bound at K=64 (FLOPs are free)
+        # and the lever is op count, not FLOP reduction.
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         T, SN, DH = units // 4, 128, 64
         qs, ks, vs = (x.reshape(T, SN, DH) for x in (q, k, v))
+        pad_k = impl == "matmul_k128"
+        if pad_k:
+            DH = 128
+            padc = [(0, 0), (0, 0), (0, 64)]
+            ks, vs = jnp.pad(ks, padc), jnp.pad(vs, padc)
         TG = 8
 
         def kern(q_ref, k_ref, v_ref, o_ref):
@@ -67,7 +81,15 @@ def main():
                 out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.float32),
             )(qq, ks, vs)
 
-        body = lambda qq: mm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
+        if pad_k:
+            body = lambda qq: mm(jnp.pad(qq.reshape(T, SN, 64), padc))[
+                :, :, :64].reshape(units, n_tok, dh)
+        else:
+            body = lambda qq: mm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
+    elif impl == "stacked_bf16":
+        kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+        body = lambda q: stacked_window_attention(
+            q.astype(jnp.bfloat16), kb, vb, adj, scale=0.125, stack=4)
     else:
         body = lambda q: stacked_window_attention(q, k, v, adj, scale=0.125, stack=4)
 

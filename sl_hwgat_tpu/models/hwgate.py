@@ -127,14 +127,22 @@ class WindowedMSA(nn.Module):
 
             impl = "pallas" if jax.default_backend() == "tpu" else "stacked"
 
+        def fused(qu, ku, vu, mask, **tail_kw):
+            """Fused Pallas kernel — per-shard under shard_map when a
+            `parallel.kernel_sharding` context is active."""
+            from sl_hwgat_tpu.parallel import kernel_sharding
+            from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
+
+            kw = dict(scale=scale, stack=stack, pad_tokens=pad,
+                      prune_u=prune_u, **tail_kw)
+            out = kernel_sharding.call_sharded(qu, ku, vu, mask, **kw)
+            if out is None:
+                out = pallas_window_attention(qu, ku, vu, mask, **kw)
+            return out
+
         def attend(qu, ku, vu, mask):
             if impl == "pallas":
-                from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
-
-                return pallas_window_attention(
-                    qu, ku, vu, mask, scale=scale, stack=stack, pad_tokens=pad,
-                    prune_u=prune_u,
-                )
+                return fused(qu, ku, vu, mask)
             return stacked_window_attention(
                 qu, ku, vu, mask, scale=scale, stack=stack, pad_tokens=pad,
                 prune_u=prune_u,
@@ -143,26 +151,36 @@ class WindowedMSA(nn.Module):
         if self.tail_shift_mask is None:
             out = attend(q, k, v, adj)
         else:
-            # Split units by temporal group: [0, f-1) use the plain adjacency,
-            # the last group also applies the shift mask.
             nw = self.windows_per_frame
             u = g * h
             per_f = nw * h
             f = self.temporal_groups
+            tail_adj = adj * np.asarray(self.tail_shift_mask, dtype=np.float32)
 
             # Unit order is (b, f, nW, h): window_partition flattens (b, f, nW)
-            # major→minor and heads were appended after the group index.
-            def split(t):
-                t = t.reshape(-1, f, per_f, n, dh)
-                return t[:, : f - 1].reshape(-1, n, dh), t[:, f - 1 :].reshape(-1, n, dh)
+            # major→minor and heads were appended after the group index, so the
+            # shift-masked units are the last per_f of every f consecutive
+            # groups of per_f.
+            if impl == "pallas" and per_f % stack == 0:
+                # One fused kernel over all units: the kernel selects the plain
+                # vs shift-masked adjacency per supertile (no split/concat HBM
+                # round-trip, uniform unit axis for sharding).
+                out = fused(q, k, v, adj, tail_adj=tail_adj,
+                            units_per_group=per_f, groups=f)
+            else:
+                # Split units by temporal group: [0, f-1) use the plain
+                # adjacency, the last group also applies the shift mask.
+                def split(t):
+                    t = t.reshape(-1, f, per_f, n, dh)
+                    return (t[:, : f - 1].reshape(-1, n, dh),
+                            t[:, f - 1 :].reshape(-1, n, dh))
 
-            (qm, qt), (km, kt), (vm, vt) = split(q), split(k), split(v)
-            tail_adj = adj * np.asarray(self.tail_shift_mask, dtype=np.float32)
-            parts = []
-            if f > 1:
-                parts.append(attend(qm, km, vm, adj).reshape(-1, f - 1, per_f, n, dh))
-            parts.append(attend(qt, kt, vt, tail_adj).reshape(-1, 1, per_f, n, dh))
-            out = jnp.concatenate(parts, axis=1).reshape(u, n, dh)
+                (qm, qt), (km, kt), (vm, vt) = split(q), split(k), split(v)
+                parts = []
+                if f > 1:
+                    parts.append(attend(qm, km, vm, adj).reshape(-1, f - 1, per_f, n, dh))
+                parts.append(attend(qt, kt, vt, tail_adj).reshape(-1, 1, per_f, n, dh))
+                out = jnp.concatenate(parts, axis=1).reshape(u, n, dh)
 
         out = out.astype(x.dtype).reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)
         out = nn.Dense(d, kernel_init=DENSE_INIT, name="proj")(out)

@@ -82,13 +82,31 @@ def _sddmm(q, k, scale):
     )
 
 
-def _fwd_kernel(u_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref, o_ref,
-                *, scale, zero_quirk, prune, tiles_per_step):
-    allowed = allowed_ref[:]
-    fill = fill_ref[:]
+def _tile_masks_for(g, sel_ref, allowed_ref, fill_ref, dual, tiles_per_step=1):
+    """Per-tile (allowed, fill) planes.
+
+    Single-mask mode: the refs hold one (SN, SN) plane each. Dual mode (the
+    tail-shift unification): refs hold a stacked pair (2, SN, SN) and
+    ``sel_ref[g]`` (SMEM, one int per supertile) picks the plane — plane 1 is
+    the shift-masked adjacency used by the last temporal group of each window
+    set (reference `HWGATE.py:196-211`); a VPU select, measured cheap."""
+    if not dual:
+        return allowed_ref[:], fill_ref[:]
+    # ``sel_ref`` holds the WHOLE (T,) selector in SMEM (rank-1 SMEM blocks
+    # must be whole-array for Mosaic); index by global supertile id.
+    sel = sel_ref[pl.program_id(0) * tiles_per_step + g] == 1
+    allowed = jnp.where(sel, allowed_ref[1], allowed_ref[0])
+    fill = jnp.where(sel, fill_ref[1], fill_ref[0])
+    return allowed, fill
+
+
+def _fwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref, o_ref,
+                *, scale, zero_quirk, prune, tiles_per_step, dual):
     pu = u_ref[0] if prune else None
 
     def body(g, _):
+        allowed, fill = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref, dual,
+                                        tiles_per_step)
         v = v_ref[g]
         s = _sddmm(q_ref[g], k_ref[g], scale)
         a, _ = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
@@ -98,13 +116,14 @@ def _fwd_kernel(u_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref, o_ref,
     _tile_loop(body, tiles_per_step)
 
 
-def _bwd_kernel(u_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref, fill_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, zero_quirk, prune, tiles_per_step):
-    allowed = allowed_ref[:]
-    fill = fill_ref[:]
+def _bwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref, fill_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, zero_quirk, prune, tiles_per_step,
+                dual):
     pu = u_ref[0] if prune else None
 
     def body(g, _):
+        allowed, fill = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref, dual,
+                                        tiles_per_step)
         q = q_ref[g]
         k = k_ref[g]
         v = v_ref[g]
@@ -162,15 +181,22 @@ def _tile_masks(adj, n, np_, stack):
 
 
 def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
-          out_dtype=jnp.float32):
+          out_dtype=jnp.float32, dual=False):
     grid = (t // tiles_per_step,)
     tile_spec = pl.BlockSpec(
         (tiles_per_step, sn, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    mask_spec = pl.BlockSpec((sn, sn), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    if dual:
+        mask_spec = pl.BlockSpec((2, sn, sn), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((sn, sn), lambda i: (0, 0), memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
-    n_tensor_in = len(args) - 3  # minus scalar u and the two masks
-    in_specs = [scalar_spec] + [tile_spec] * n_tensor_in + [mask_spec, mask_spec]
+    # whole-array SMEM block: rank-1 SMEM blocks must cover the array (or be
+    # 128-multiples) for Mosaic; the kernel indexes by global supertile id
+    sel_spec = pl.BlockSpec((t,), lambda i: (0,), memory_space=pltpu.SMEM)
+    n_tensor_in = len(args) - 4  # minus scalar u, sel, and the two masks
+    in_specs = [scalar_spec, sel_spec] + [tile_spec] * n_tensor_in + [mask_spec, mask_spec]
     out_specs = tuple([tile_spec] * n_out) if n_out > 1 else tile_spec
     shape = jax.ShapeDtypeStruct((t, sn, dh), out_dtype)
     out_shape = tuple([shape] * n_out) if n_out > 1 else shape
@@ -187,55 +213,97 @@ def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
 _ADJ_CACHE: dict[Any, np.ndarray] = {}
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _attention(q, k, v, u_val, prune, adj_key, scale, stack, pad_tokens, zero_quirk):
-    out, _ = _attention_fwd(q, k, v, u_val, prune, adj_key, scale, stack, pad_tokens, zero_quirk)
+def _masks(adj_key, tail, n, np_, stack):
+    """Mask planes for single- or dual-mask mode.
+
+    ``tail`` is None (single mask) or ``(tail_adj_key, per_group, groups)``:
+    units are ordered (…, group, unit-in-group); the LAST of every ``groups``
+    consecutive blocks of ``per_group`` units uses the tail (shift-masked)
+    adjacency — exactly the unit layout `models/hwgate.py` produces
+    (reference `HWGATE.py:196-211`)."""
+    adj = _ADJ_CACHE[adj_key]
+    allowed_m, fill_m = _tile_masks(adj, n, np_, stack)
+    if tail is None:
+        return allowed_m, fill_m, False
+    tail_key, per_group, groups = tail
+    if per_group % stack:
+        raise ValueError(
+            f"units per temporal group ({per_group}) must be a multiple of the "
+            f"supertile stack ({stack}) so no supertile mixes mask planes")
+    allowed2, fill2 = _tile_masks(_ADJ_CACHE[tail_key], n, np_, stack)
+    return np.stack([allowed_m, allowed2]), np.stack([fill_m, fill2]), True
+
+
+def _make_sel(t, stack, tail, unit_offset):
+    """(t,) int32 per-supertile mask selector. ``unit_offset`` shifts the
+    group phase — a traced scalar under shard_map, where each shard's unit 0
+    is globally ``axis_index * per_shard_units``."""
+    if tail is None:
+        return jnp.zeros((t,), jnp.int32)
+    _, per_group, groups = tail
+    starts = np.arange(t, dtype=np.int32) * stack
+    if unit_offset is None:
+        group_of_tile = starts // per_group
+        return jnp.asarray(
+            (group_of_tile % groups == groups - 1).astype(np.int32))
+    group_of_tile = (jnp.asarray(starts) + unit_offset) // per_group
+    return (group_of_tile % groups == groups - 1).astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _attention(q, k, v, u_val, sel, prune, adj_key, scale, stack, pad_tokens,
+               zero_quirk_tail):
+    out, _ = _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
+                            pad_tokens, zero_quirk_tail)
     return out
 
 
-def _attention_fwd(q, k, v, u_val, prune, adj_key, scale, stack, pad_tokens, zero_quirk):
-    adj = _ADJ_CACHE[adj_key]
+def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
+                   pad_tokens, zero_quirk_tail):
+    zero_quirk, tail = zero_quirk_tail
     u_units, n, dh = q.shape
     (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
-    allowed_m, fill_m = _tile_masks(adj, n, np_, stack)
+    allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
     kern = functools.partial(
         _fwd_kernel, scale=scale, zero_quirk=zero_quirk, prune=prune,
-        tiles_per_step=tiles_per_step,
+        tiles_per_step=tiles_per_step, dual=dual,
     )
     o = _call(
         kern, 1, t, sn, dh, tiles_per_step,
-        (u_val, qs, ks, vs, jnp.asarray(allowed_m), jnp.asarray(fill_m)),
-        _interpret(),
+        (u_val, sel, qs, ks, vs, jnp.asarray(allowed_m), jnp.asarray(fill_m)),
+        _interpret(), dual=dual,
     )
     out = o.reshape(u_units, np_, dh)[:, :n]
-    return out, (q, k, v, u_val)
+    return out, (q, k, v, u_val, sel)
 
 
-def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk, res, g):
-    adj = _ADJ_CACHE[adj_key]
-    q, k, v, u_val = res
+def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
+                   res, g):
+    zero_quirk, tail = zero_quirk_tail
+    q, k, v, u_val, sel = res
     u_units, n, dh = q.shape
     (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
     if np_ != n:
         g = jnp.pad(g, [(0, 0), (0, np_ - n), (0, 0)])
     gs = g.reshape(t, sn, dh)
-    allowed_m, fill_m = _tile_masks(adj, n, np_, stack)
+    allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
     kern = functools.partial(
         _bwd_kernel, scale=scale, zero_quirk=zero_quirk, prune=prune,
-        tiles_per_step=tiles_per_step,
+        tiles_per_step=tiles_per_step, dual=dual,
     )
     dq, dk, dv = _call(
         kern, 3, t, sn, dh, tiles_per_step,
-        (u_val, qs, ks, vs, gs, jnp.asarray(allowed_m), jnp.asarray(fill_m)),
-        _interpret(), out_dtype=q.dtype,
+        (u_val, sel, qs, ks, vs, gs, jnp.asarray(allowed_m),
+         jnp.asarray(fill_m)),
+        _interpret(), out_dtype=q.dtype, dual=dual,
     )
 
     def unstack(x):
         return x.reshape(u_units, np_, dh)[:, :n]
 
-    return unstack(dq), unstack(dk), unstack(dv), None
+    return unstack(dq), unstack(dk), unstack(dv), None, None
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
@@ -267,17 +335,39 @@ def _pick_tiles_per_step(t: int, sn: int, dh: int) -> int:
     return best
 
 
+def _cache_adj(adj: np.ndarray):
+    key = (adj.shape, adj.tobytes())
+    _ADJ_CACHE.setdefault(key, np.asarray(adj, dtype=np.float32))
+    return key
+
+
 def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
                             stack: int = 4, pad_tokens: int | None = None,
-                            zero_quirk: bool = True, prune_u=None):
+                            zero_quirk: bool = True, prune_u=None,
+                            tail_adj: np.ndarray | None = None,
+                            units_per_group: int | None = None,
+                            groups: int | None = None,
+                            unit_offset=None):
     """Drop-in fused replacement for ``stacked_window_attention``.
 
     q, k, v: (U, N, dh) float32; ``adj``: static (N, N) {0,1} numpy mask.
     Differentiable via the fused backward kernel.
+
+    Shifted-block mode (``tail_adj`` given): units are ordered
+    (…, group, unit-in-group) with ``groups`` temporal groups of
+    ``units_per_group`` units; the last group of each period attends under
+    ``tail_adj`` (adjacency × Swin shift mask) instead of ``adj`` — one fused
+    kernel over all units replaces the split/concat two-call formulation.
+    ``unit_offset`` (traced scalar ok) shifts the group phase of unit 0; under
+    shard_map pass ``axis_index * per_shard_units`` so each shard selects the
+    right mask planes.
     """
-    key = (adj.shape, adj.tobytes())
-    _ADJ_CACHE.setdefault(key, np.asarray(adj, dtype=np.float32))
+    key = _cache_adj(adj)
+    tail = None
+    if tail_adj is not None:
+        tail = (_cache_adj(tail_adj), int(units_per_group), int(groups))
     prune = prune_u is not None
     u_val = jnp.asarray([prune_u if prune else 0.0], jnp.float32)
-    return _attention(q, k, v, u_val, prune, key, float(scale), int(stack),
-                      pad_tokens, bool(zero_quirk))
+    sel = _make_sel(q.shape[0] // stack, stack, tail, unit_offset)
+    return _attention(q, k, v, u_val, sel, prune, key, float(scale), int(stack),
+                      pad_tokens, (bool(zero_quirk), tail))

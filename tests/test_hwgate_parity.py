@@ -120,3 +120,15 @@ def test_train_mode_runs_with_prune_and_dropout():
     )
     assert out.shape == (2, 5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_full_model_pallas_impl_matches_stacked():
+    """The fused Pallas path (incl. the dual-mask shifted blocks) must equal
+    the stacked jnp path through the whole model. Interpreter mode on CPU."""
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 16, 64, 2)), jnp.float32)
+    stacked = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5, attn_impl="stacked")
+    fused = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5, attn_impl="pallas")
+    variables = stacked.init(jax.random.PRNGKey(0), x, train=False)
+    a = stacked.apply(variables, x, train=False)
+    b = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)

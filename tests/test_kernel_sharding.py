@@ -1,0 +1,94 @@
+"""Fused Pallas kernel under shard_map (parallel/kernel_sharding.py):
+sharded == unsharded on the virtual 8-device CPU mesh, including the
+dual-mask (shifted-block) per-shard phase offset.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from sl_hwgat_tpu import graphs
+from sl_hwgat_tpu.models.hwgate import HWGATE
+from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
+from sl_hwgat_tpu.parallel import kernel_sharding
+
+ADJ32 = graphs.windowed_block_adj(2)[0]
+
+
+def qkv(u, n, dh, seed=0):
+    r = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(r.normal(size=(u, n, dh)).astype(np.float32)) for _ in range(3)
+    )
+
+
+def mesh2d(dp, sp):
+    devs = np.array(jax.devices("cpu")[: dp * sp]).reshape(dp, sp)
+    return Mesh(devs, ("dp", "sp"))
+
+
+@pytest.mark.parametrize("dp,sp", [(2, 1), (2, 2), (4, 2)])
+def test_sharded_matches_unsharded_plain(dp, sp):
+    q, k, v = qkv(32, 32, 16, seed=1)
+    want = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4)
+    with kernel_sharding.sharded_window_attention(mesh2d(dp, sp)):
+        got = kernel_sharding.call_sharded(q, k, v, ADJ32, scale=0.25, stack=4)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("dp,sp", [(2, 2), (4, 2)])
+def test_sharded_matches_unsharded_dual_mask(dp, sp):
+    # b=8 batch-groups, f=4 temporal groups, per_f=8 units/group: sp splits
+    # temporal groups WITHIN a batch element (per-shard phase offset ≠ 0)
+    per_f, f, b = 8, 4, 8
+    q, k, v = qkv(b * f * per_f, 32, 16, seed=2)
+    r = np.random.default_rng(3)
+    tail = ADJ32 * (r.random(ADJ32.shape) > 0.3)
+    kw = dict(scale=0.25, stack=4, tail_adj=tail, units_per_group=per_f, groups=f)
+    want = pallas_window_attention(q, k, v, ADJ32, **kw)
+    with kernel_sharding.sharded_window_attention(mesh2d(dp, sp)):
+        got = kernel_sharding.call_sharded(q, k, v, ADJ32, **kw)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sharded_gradients_match():
+    q, k, v = qkv(32, 32, 16, seed=4)
+
+    def loss(fn):
+        def inner(q, k, v):
+            o = fn(q, k, v)
+            return jnp.sum(o * jnp.cos(o))
+        return inner
+
+    plain = lambda q, k, v: pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4)
+    g_plain = jax.grad(loss(plain), argnums=(0, 1, 2))(q, k, v)
+    with kernel_sharding.sharded_window_attention(mesh2d(2, 2)):
+        sharded = lambda q, k, v: kernel_sharding.call_sharded(
+            q, k, v, ADJ32, scale=0.25, stack=4)
+        g_shard = jax.grad(loss(sharded), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_shard, g_plain, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, err_msg=name)
+
+
+def test_indivisible_units_fall_back():
+    q, k, v = qkv(12, 32, 16, seed=5)  # 12 units % 8 shards != 0
+    with kernel_sharding.sharded_window_attention(mesh2d(4, 2)):
+        got = kernel_sharding.call_sharded(q, k, v, ADJ32, scale=0.25, stack=4)
+    assert got is None
+
+
+def test_full_model_forward_under_context():
+    """Whole HWGATE forward with the sharded fused kernel == stacked path."""
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(4, 16, 64, 2)), jnp.float32)
+    stacked = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5, attn_impl="stacked")
+    fused = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5, attn_impl="pallas")
+    variables = stacked.init(jax.random.PRNGKey(0), x, train=False)
+    want = stacked.apply(variables, x, train=False)
+    with kernel_sharding.sharded_window_attention(mesh2d(2, 2)):
+        got = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)

@@ -73,3 +73,68 @@ def test_under_jit():
     got = f(q, k, v)
     want = stacked_window_attention(q, k, v, ADJ32, scale=0.125, stack=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def _split_reference(q, k, v, adj, tail_adj, per_f, f, scale, stack):
+    """Two-call split formulation (the pre-unification model path)."""
+    u, n, dh = q.shape
+
+    def split(t):
+        t = t.reshape(-1, f, per_f, n, dh)
+        return t[:, : f - 1].reshape(-1, n, dh), t[:, f - 1 :].reshape(-1, n, dh)
+
+    (qm, qt), (km, kt), (vm, vt) = split(q), split(k), split(v)
+    parts = []
+    if f > 1:
+        parts.append(
+            stacked_window_attention(qm, km, vm, adj, scale=scale, stack=stack)
+            .reshape(-1, f - 1, per_f, n, dh))
+    parts.append(
+        stacked_window_attention(qt, kt, vt, tail_adj, scale=scale, stack=stack)
+        .reshape(-1, 1, per_f, n, dh))
+    return jnp.concatenate(parts, axis=1).reshape(u, n, dh)
+
+
+def _tail_setup(seed=5):
+    # b=2 batch, f=3 temporal groups, per_f=8 units/group (nW=4 × h=2)
+    per_f, f, b = 8, 3, 2
+    q, k, v = qkv(b * f * per_f, 32, 16, seed=seed)
+    r = np.random.default_rng(seed + 1)
+    tail_adj = ADJ32 * (r.random(ADJ32.shape) > 0.3)  # arbitrary extra mask
+    return q, k, v, tail_adj, per_f, f
+
+
+def test_dual_mask_forward_matches_split():
+    q, k, v, tail_adj, per_f, f = _tail_setup()
+    got = pallas_window_attention(
+        q, k, v, ADJ32, scale=0.25, stack=4,
+        tail_adj=tail_adj, units_per_group=per_f, groups=f)
+    want = _split_reference(q, k, v, ADJ32, tail_adj, per_f, f, 0.25, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_dual_mask_gradients_match_split():
+    q, k, v, tail_adj, per_f, f = _tail_setup(seed=6)
+
+    def loss_fused(q, k, v):
+        o = pallas_window_attention(
+            q, k, v, ADJ32, scale=0.25, stack=4,
+            tail_adj=tail_adj, units_per_group=per_f, groups=f)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_split(q, k, v):
+        o = _split_reference(q, k, v, ADJ32, tail_adj, per_f, f, 0.25, 4)
+        return jnp.sum(o * jnp.cos(o))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_split, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, err_msg=name)
+
+
+def test_dual_mask_rejects_straddling_supertiles():
+    q, k, v = qkv(12, 32, 16, seed=7)
+    with pytest.raises(Exception):
+        pallas_window_attention(
+            q, k, v, ADJ32, scale=0.25, stack=4,
+            tail_adj=ADJ32, units_per_group=6, groups=2)
