@@ -57,32 +57,32 @@ def main():
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
+        # Single operand plays q/k/v (timing-identical; avoids closure-captured
+        # constants that blow the remote-compile request limit).
         T, SN, DH = units // 4, 128, 64
-        qs, ks, vs = (x.reshape(T, SN, DH) for x in (q, k, v))
         pad_k = impl == "matmul_k128"
         if pad_k:
             DH = 128
-            padc = [(0, 0), (0, 0), (0, 64)]
-            ks, vs = jnp.pad(ks, padc), jnp.pad(vs, padc)
         TG = 8
 
-        def kern(q_ref, k_ref, v_ref, o_ref):
+        def kern(q_ref, o_ref):
             for g in range(TG):
-                s = jax.lax.dot_general(q_ref[g], k_ref[g], (((1,), (1,)), ((), ())),
+                s = jax.lax.dot_general(q_ref[g], q_ref[g], (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-                o_ref[g] = jax.lax.dot_general(s, v_ref[g], (((1,), (0,)), ((), ())),
+                o_ref[g] = jax.lax.dot_general(s, q_ref[g], (((1,), (0,)), ((), ())),
                                                preferred_element_type=jnp.float32)
 
         tile = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
         def mm(qq):
             return pl.pallas_call(
-                kern, grid=(T // TG,), in_specs=[tile, tile, tile], out_specs=tile,
+                kern, grid=(T // TG,), in_specs=[tile], out_specs=tile,
                 out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.float32),
-            )(qq, ks, vs)
+            )(qq)
 
         if pad_k:
-            body = lambda qq: mm(jnp.pad(qq.reshape(T, SN, 64), padc))[
+            body = lambda qq: mm(jnp.pad(qq.reshape(T, SN, 64),
+                                         [(0, 0), (0, 0), (0, 64)]))[
                 :, :, :64].reshape(units, n_tok, dh)
         else:
             body = lambda qq: mm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)

@@ -1,0 +1,69 @@
+"""Child process: measure the full HWGATE train step (fwd+bwd+AdamW) on the
+TPU at the FDMSE-ISL flagship config and print one JSON line
+{impl, time_us, clips_per_sec}.
+
+Run as: python bench_train_step.py {f32|bf16} [batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    dtype = sys.argv[1] if len(sys.argv) > 1 else "f32"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sl_hwgat_tpu.models import build_model
+    from sl_hwgat_tpu.train.loop import init_state, make_steps
+
+    overrides = {} if dtype == "f32" else {"compute_dtype": "bfloat16"}
+    ds = {"src_len": 192, "num_class": 2002}  # FDMSE-ISL (constants.py)
+    model = build_model("HWGATE", ds, 2, **overrides)
+
+    class Cfg:
+        seed = 0
+        optimizer_type = "adamw"
+        lr = 5e-4
+
+    state, opt = init_state(model, Cfg, (192, 64, 2), ("dropout", "prune"))
+    tstep, _ = make_steps(model, opt, rng_streams=("dropout", "prune"),
+                          mutable_stats=False, donate=False)
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(batch, 192, 64, 2)).astype(np.float32))
+    y = jnp.asarray(r.integers(0, 2002, size=(batch,)).astype(np.int64))
+    valid = jnp.ones((batch,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    variables, opt_state = state.variables, state.opt_state
+    out = tstep(variables, opt_state, x, y, valid, key, 0, 0)
+    variables, opt_state = out[0], out[1]
+    jax.block_until_ready(variables)
+
+    steps = 10
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = tstep(variables, opt_state, x, y, valid, key, 0, i)
+        variables, opt_state = out[0], out[1]
+    jax.block_until_ready(variables)
+    per_step = (time.perf_counter() - t0) / steps
+
+    print(json.dumps({
+        "impl": f"train_step_{dtype}",
+        "time_us": per_step * 1e6,
+        "clips_per_sec": batch / per_step,
+    }))
+
+
+if __name__ == "__main__":
+    main()

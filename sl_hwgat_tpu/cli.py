@@ -39,6 +39,11 @@ def parser():
                    choices=["float32", "bfloat16"],
                    help="attention compute dtype (bfloat16 = fast path, f32-accumulated; "
                         "validated loss-equivalent on synthetic training)")
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="mixed precision: bfloat16 runs every projection/FFN "
+                        "matmul and the attention kernel in bf16 (params, "
+                        "layernorm, softmax, head and loss stay f32)")
     return p.parse_args()
 
 
@@ -156,6 +161,8 @@ def main():
     cfg.ckpt_backend = args.ckpt_backend
     if args.attn_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, attn_dtype=args.attn_dtype)
+    if args.compute_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):
+        cfg.overrides = dict(cfg.overrides, compute_dtype=args.compute_dtype)
     print(cfg.dataset)
     print("Model Name:-", cfg.save_model_path)
     print("Running Mode:-", cfg.mode)

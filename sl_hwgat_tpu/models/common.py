@@ -103,17 +103,23 @@ class PositionalEncoding(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """fc1 → GELU → drop → fc2 → drop. ≡ `HWGATE.py:120-136`."""
+    """fc1 → GELU → drop → fc2 → drop. ≡ `HWGATE.py:120-136`.
+
+    ``compute_dtype``: matmul/activation dtype (params stay float32) — the
+    mixed-precision fast path; the caller's residual add promotes back to f32.
+    """
 
     hidden: int
     out: int
     drop_rate: float = 0.0
     act: Callable = gelu_exact
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Dense(self.hidden, kernel_init=DENSE_INIT, name="fc1")(x)
+        dt = jnp.dtype(self.compute_dtype)
+        x = nn.Dense(self.hidden, kernel_init=DENSE_INIT, dtype=dt, name="fc1")(x)
         x = self.act(x)
         x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
-        x = nn.Dense(self.out, kernel_init=DENSE_INIT, name="fc2")(x)
+        x = nn.Dense(self.out, kernel_init=DENSE_INIT, dtype=dt, name="fc2")(x)
         return nn.Dropout(self.drop_rate, deterministic=not train)(x)

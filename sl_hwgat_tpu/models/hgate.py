@@ -43,6 +43,8 @@ class GraphAttentionBlock(nn.Module):
     attn_drop: float = 0.0
     ff_ratio: float = 2.0
     attn_impl: str = "auto"
+    attn_dtype: str = "float32"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -68,6 +70,8 @@ class GraphAttentionBlock(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             attn_impl=self.attn_impl,
+            attn_dtype=self.attn_dtype,
+            compute_dtype=self.compute_dtype,
             name="attn",
         )(xb, train=train)
         x = block_reverse(xb, self.temporal_patch, f_total, k)
@@ -75,7 +79,8 @@ class GraphAttentionBlock(nn.Module):
             x = jnp.roll(x, self.shift_size, axis=1)
         x = shortcut + x
         x = x + FeedForward(
-            hidden=int(self.dim * self.ff_ratio), out=self.dim, drop_rate=self.drop, name="ff"
+            hidden=int(self.dim * self.ff_ratio), out=self.dim, drop_rate=self.drop,
+            compute_dtype=self.compute_dtype, name="ff",
         )(layer_norm("norm2")(x), train=train)
         return x
 
@@ -98,6 +103,8 @@ class HGATE(nn.Module):
     attn_drop_rate: float = 0.0
     ff_ratio: float = 2.0
     attn_impl: str = "auto"
+    attn_dtype: str = "float32"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -124,6 +131,8 @@ class HGATE(nn.Module):
                     attn_drop=self.attn_drop_rate,
                     ff_ratio=self.ff_ratio,
                     attn_impl=self.attn_impl,
+                    attn_dtype=self.attn_dtype,
+                    compute_dtype=self.compute_dtype,
                     name=f"layers_{i}_blocks_{j}",
                 )(x, train=train)
             if i < num_layers - 1:

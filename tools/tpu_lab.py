@@ -35,8 +35,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_experiment(exp: dict, timeout_s: int) -> dict:
     env = dict(os.environ)
     env.update(exp.get("env", {}))
-    cmd = [sys.executable, os.path.join(REPO, "bench_kernel.py"),
-           exp.get("impl", "pallas"), str(exp.get("units", 12288))]
+    if "script" in exp:
+        cmd = [sys.executable, os.path.join(REPO, exp["script"]),
+               *[str(a) for a in exp.get("args", [])]]
+    else:
+        cmd = [sys.executable, os.path.join(REPO, "bench_kernel.py"),
+               exp.get("impl", "pallas"), str(exp.get("units", 12288))]
     t0 = time.time()
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
