@@ -39,6 +39,17 @@ def main():
 
     if impl == "pallas":
         body = lambda q: pallas_window_attention(q, k, v, adj, scale=0.125, stack=4)
+    elif impl in ("pallas_bwd", "pallas_bwd_bf16"):
+        # forward + fused backward kernel (the train-step hot path): loop dq
+        if impl.endswith("bf16"):
+            k, v = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+
+        def f(qq):
+            o = pallas_window_attention(
+                qq.astype(k.dtype), k, v, adj, scale=0.125, stack=4)
+            return jnp.sum(o * o)
+
+        body = lambda qq: jax.grad(f)(qq).astype(jnp.float32)
     elif impl == "pallas_dual":
         # dual-mask (tail-shift) mode: per_f=32 units/group, 3 groups
         tail = adj * (np.arange(32)[:, None] % 2 == np.arange(32)[None, :] % 2)
@@ -86,6 +97,52 @@ def main():
                 :, :, :64].reshape(units, n_tok, dh)
         else:
             body = lambda qq: mm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
+    elif impl.startswith("calib_"):
+        # Chip/shape calibration probes. Results feed bench.py's roofline:
+        #  calib_big_{f32,bf16}: 2048^3 dense matmul -> overall MXU peak
+        #  calib_shape_{f32,bf16}: the kernel's exact batched shapes
+        #    (T,128,64)@(T,64,128) + (T,128,128)@(T,128,64) via XLA einsum
+        #    -> the achievable speed of light for this op's shape class
+        dt = jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
+        if "big" in impl:
+            m = jnp.asarray(r.normal(size=(2048, 2048)).astype(np.float32)).astype(dt)
+
+            def body_mm(x):
+                return jax.lax.dot_general(
+                    x, m, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt)
+
+            flops_per_op = 2 * 2048**3
+            x0 = m
+        else:
+            T = units // 4
+            ks2 = jnp.asarray(r.normal(size=(T, 128, 64)).astype(np.float32)).astype(dt)
+
+            def body_mm(x):
+                s = jnp.einsum("tmk,tnk->tmn", x, ks2,
+                               preferred_element_type=jnp.float32).astype(dt)
+                return jnp.einsum("tmn,tnk->tmk", s, ks2,
+                                  preferred_element_type=jnp.float32).astype(dt)
+
+            flops_per_op = T * 2 * 2 * 128 * 128 * 64
+            x0 = ks2
+
+        inner, outer = 30, 3
+
+        @jax.jit
+        def loop_mm(x):
+            return jax.lax.fori_loop(0, inner, lambda i, y: body_mm(y), x)
+
+        y = loop_mm(x0)
+        float(jnp.sum(y.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(outer):
+            y = loop_mm(y)
+        float(jnp.sum(y.astype(jnp.float32)))
+        per_op = (time.perf_counter() - t0) / (outer * inner)
+        print(json.dumps({"impl": impl, "time_us": per_op * 1e6,
+                          "tflops": flops_per_op / per_op / 1e12}))
+        return
     elif impl == "stacked_bf16":
         kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
         body = lambda q: stacked_window_attention(

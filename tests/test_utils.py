@@ -44,3 +44,41 @@ def test_confusion_csv_roundtrip(tmp_path):
     cm_path = tmp_path / "class_map.csv"
     cm_path.write_text("class,word\n0,hello\n1,world\n")
     assert read_class_map(str(cm_path)) == {0: "hello", 1: "world"}
+
+
+def test_window_attention_cost_accounting():
+    from sl_hwgat_tpu.utils.profiling import window_attention_cost
+
+    c = window_attention_cost(units=8, tokens=32, head_dim=64, nnz=164, stack=4)
+    assert c.edges == 8 * 164
+    # 2 supertiles, each 2 matmuls of (128,128,64)
+    assert c.dense_flops == 2 * 2 * (2 * 128 * 128 * 64)
+    assert c.sparse_flops == 8 * 164 * 4 * 64
+    assert c.bytes_min == 8 * 32 * 64 * 4 * 4
+
+
+def test_hwgate_forward_cost_totals():
+    from sl_hwgat_tpu.utils.profiling import hwgate_forward_cost
+
+    t = hwgate_forward_cost(batch=16)
+    # 8 blocks, each 12288 units (stage-invariant: B·(f/TP)·nW·h is constant
+    # because f halves while heads double)
+    nnz = t["edges"] // (8 * 12288)
+    assert t["edges"] == 8 * 12288 * nnz
+    assert t["dense_flops"] > t["sparse_flops"] > 0
+
+
+def test_timeit_and_trace_smoke(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from sl_hwgat_tpu.utils.profiling import timeit, trace
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((8, 8))
+    dt = timeit(f, x, warmup=1, iters=3)
+    assert dt > 0
+    with trace(str(tmp_path / "tr")):
+        jax.block_until_ready(f(x))
+    import os
+    assert os.path.isdir(str(tmp_path / "tr"))
