@@ -114,4 +114,18 @@ def make_sharded_steps(model, optimizer, mesh: Mesh, variables, opt_state,
         static_argnums=(4,),
         in_shardings=(var_sh, x_sh, y_sh, v_sh),
     )
-    return train_step, eval_step, variables, opt_state
+
+    # The fused Pallas kernel is not GSPMD-partitionable; activate the
+    # shard_map context during each call so that when the model's attn_impl
+    # resolves to 'pallas' (the TPU default), tracing routes attention through
+    # parallel/kernel_sharding.call_sharded (per-shard fused kernels over
+    # dp/sp) instead of a single un-partitionable pallas_call.
+    from sl_hwgat_tpu.parallel import kernel_sharding
+
+    def with_kernel_ctx(fn):
+        def wrapped(*a, **k):
+            with kernel_sharding.sharded_window_attention(mesh):
+                return fn(*a, **k)
+        return wrapped
+
+    return with_kernel_ctx(train_step), with_kernel_ctx(eval_step), variables, opt_state
