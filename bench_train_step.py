@@ -48,14 +48,18 @@ def main():
     variables, opt_state = state.variables, state.opt_state
     out = tstep(variables, opt_state, x, y, valid, key, 0, 0)
     variables, opt_state = out[0], out[1]
-    jax.block_until_ready(variables)
+    # block_until_ready does NOT force completion through the axon relay;
+    # materializing a scalar does (same reason bench_kernel uses float(sum)).
+    float(out[2])
+    float(jnp.sum(jax.tree.leaves(variables["params"])[0]))
 
     steps = 10
     t0 = time.perf_counter()
     for i in range(steps):
         out = tstep(variables, opt_state, x, y, valid, key, 0, i)
         variables, opt_state = out[0], out[1]
-    jax.block_until_ready(variables)
+    # forcing a param leaf covers the final optimizer update too
+    float(jnp.sum(jax.tree.leaves(variables["params"])[0]))
     per_step = (time.perf_counter() - t0) / steps
 
     print(json.dumps({

@@ -288,7 +288,7 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
         g = jnp.pad(g, [(0, 0), (0, np_ - n), (0, 0)])
     gs = g.reshape(t, sn, dh)
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
-    tiles_per_step = _pick_tiles_per_step(t, sn, dh)
+    tiles_per_step = _pick_tiles_per_step(t, sn, dh, preferred=8)
     kern = functools.partial(
         _bwd_kernel, scale=scale, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
@@ -309,13 +309,14 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
 _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
-def _pick_tiles_per_step(t: int, sn: int, dh: int) -> int:
+def _pick_tiles_per_step(t: int, sn: int, dh: int, preferred: int = 16) -> int:
     """Supertiles per grid step: enough to amortize grid overhead, small
     enough to keep q/k/v/(do)/outputs inside the 16MB scoped-VMEM limit.
 
-    Accounting per tile: up to 8 streamed operands (q,k,v,do,o,dq,dk,dv) ×
-    double buffering, plus per-iteration (SN,SN) score/attention intermediates
-    the unrolled loop keeps live — budget conservatively."""
+    On-hardware sweep (v5e, tools/kernel_*_results.jsonl): fwd tg16 beats tg8
+    (f32 2133 vs 2186us; bf16 1191 vs 1322us); tg32 fails to compile (VMEM).
+    Fwd defaults to 16; bwd passes ``preferred=8`` (more streamed operands,
+    tg16 unvalidated on hardware). ``PALLAS_ATTN_TG`` overrides both."""
     import os
 
     override = os.environ.get("PALLAS_ATTN_TG")
@@ -324,12 +325,12 @@ def _pick_tiles_per_step(t: int, sn: int, dh: int) -> int:
         while t % tg:
             tg -= 1
         return max(1, tg)
-    # Validated on-hardware configuration (bench completes reliably): the
-    # per-tile term deliberately includes the score intermediates so the
-    # unrolled default lands at tg≈8 for SN=128/dh=64.
+    # VMEM sanity bound: up to 8 streamed operands (q,k,v,do,o,dq,dk,dv) ×
+    # double buffering, plus per-iteration (SN,SN) score intermediates the
+    # unrolled loop keeps live.
     per_tile = 2 * 8 * sn * dh * 4 + 3 * sn * sn * 4
-    budget = 8 * 1024 * 1024
-    best = max(1, min(t, budget // max(per_tile, 1)))
+    budget = 12 * 1024 * 1024
+    best = max(1, min(t, preferred, budget // max(per_tile, 1)))
     while t % best:
         best -= 1
     return best
