@@ -100,6 +100,54 @@ def _tile_masks_for(g, sel_ref, allowed_ref, fill_ref, dual, tiles_per_step=1):
     return allowed, fill
 
 
+def _batched(fn_env="PALLAS_ATTN_BATCHED"):
+    """Batched-matmul kernel variant switch.
+
+    The unrolled per-tile dot_generals leave the MXU idle between 128×128×64
+    ops: measured 2264µs matmul-only at the stage-0 working set, while XLA's
+    batched einsum on the SAME shapes runs 746µs (calib_shape_f32,
+    tools/kernel_batch3_results.jsonl). The batched variant issues one
+    batched dot_general over all tiles of the block so Mosaic can pipeline
+    MXU issue; VPU masking/softmax broadcasts over the tile axis."""
+    import os
+
+    return os.environ.get(fn_env, "0") == "1"
+
+
+def _block_masks(sel_ref, allowed_ref, fill_ref, dual, tiles_per_step):
+    """(allowed, fill) for a whole block — (SN, SN) single-mask (broadcasts
+    over tiles) or (TG, SN, SN) selected per tile in dual mode."""
+    if not dual:
+        return allowed_ref[:], fill_ref[:]
+    base = pl.program_id(0) * tiles_per_step
+    selv = jnp.stack([sel_ref[base + g] for g in range(tiles_per_step)])
+    sel3 = (selv == 1)[:, None, None]
+    allowed = jnp.where(sel3, allowed_ref[1][None], allowed_ref[0][None])
+    fill = jnp.where(sel3, fill_ref[1][None], fill_ref[0][None])
+    return allowed, fill
+
+
+def _bdot(a, b, contract_a, contract_b):
+    """Batched (leading-axis) dot_general with f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_kernel_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref,
+                        fill_ref, o_ref, *, scale, zero_quirk, prune,
+                        tiles_per_step, dual):
+    pu = u_ref[0] if prune else None
+    allowed, fill = _block_masks(sel_ref, allowed_ref, fill_ref, dual,
+                                 tiles_per_step)
+    q = q_ref[:]
+    v = v_ref[:]
+    s = _bdot(q * jnp.asarray(scale, q.dtype), k_ref[:], 2, 2)  # (TG,SN,SN)
+    a, _ = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
+    o_ref[:] = _bdot(a.astype(v.dtype), v, 2, 1)
+
+
 def _fwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref, o_ref,
                 *, scale, zero_quirk, prune, tiles_per_step, dual):
     pu = u_ref[0] if prune else None
@@ -114,6 +162,28 @@ def _fwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref, o_re
         return 0
 
     _tile_loop(body, tiles_per_step)
+
+
+def _bwd_kernel_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref,
+                        allowed_ref, fill_ref, dq_ref, dk_ref, dv_ref, *,
+                        scale, zero_quirk, prune, tiles_per_step, dual):
+    pu = u_ref[0] if prune else None
+    allowed, fill = _block_masks(sel_ref, allowed_ref, fill_ref, dual,
+                                 tiles_per_step)
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    dt = q.dtype
+    do = do_ref[:].astype(dt)
+    s = _bdot(q * jnp.asarray(scale, dt), k, 2, 2)
+    a, s_masked = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
+    a_lp = a.astype(dt)
+    dv_ref[:] = _bdot(a_lp, do, 1, 1).astype(dt)      # Aᵀ dO per tile
+    da = _bdot(do, v, 2, 2)                            # dO Vᵀ
+    ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+    ds = (ds * (s_masked == s).astype(jnp.float32)).astype(dt)
+    dq_ref[:] = (_bdot(ds, k, 2, 1) * scale).astype(dt)
+    dk_ref[:] = (_bdot(ds, q, 1, 1) * scale).astype(dt)
 
 
 def _bwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref, fill_ref,
@@ -266,7 +336,8 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
     kern = functools.partial(
-        _fwd_kernel, scale=scale, zero_quirk=zero_quirk, prune=prune,
+        _fwd_kernel_batched if _batched() else _fwd_kernel,
+        scale=scale, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
     )
     o = _call(
@@ -290,7 +361,8 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh, preferred=8)
     kern = functools.partial(
-        _bwd_kernel, scale=scale, zero_quirk=zero_quirk, prune=prune,
+        _bwd_kernel_batched if _batched() else _bwd_kernel,
+        scale=scale, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
     )
     dq, dk, dv = _call(
