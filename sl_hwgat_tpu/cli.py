@@ -161,7 +161,7 @@ def main():
     cfg.ckpt_backend = args.ckpt_backend
     if args.attn_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, attn_dtype=args.attn_dtype)
-    if args.compute_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):
+    if args.compute_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE", "WGATE", "GATE"):
         cfg.overrides = dict(cfg.overrides, compute_dtype=args.compute_dtype)
     print(cfg.dataset)
     print("Model Name:-", cfg.save_model_path)

@@ -38,6 +38,7 @@ class GAttentionBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     ff_ratio: float = 2.0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -51,11 +52,13 @@ class GAttentionBlock(nn.Module):
             tokens_per_frame=self.num_kps,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            compute_dtype=self.compute_dtype,
             name="attn",
         )(h, train=train)
         x = shortcut + h
         x = x + FeedForward(
-            hidden=int(self.dim * self.ff_ratio), out=self.dim, drop_rate=self.drop, name="ff"
+            hidden=int(self.dim * self.ff_ratio), out=self.dim, drop_rate=self.drop,
+            compute_dtype=self.compute_dtype, name="ff",
         )(layer_norm("norm2")(x), train=train)
         return x
 
@@ -76,6 +79,7 @@ class GATE(nn.Module):
     drop_rate: float = 0.1
     attn_drop_rate: float = 0.0
     ff_ratio: float = 2.0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -101,6 +105,7 @@ class GATE(nn.Module):
                 drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate,
                 ff_ratio=self.ff_ratio,
+                compute_dtype=self.compute_dtype,
                 name=f"layers_{i}",
             )(x, train=train)
         x = layer_norm("norm")(x)

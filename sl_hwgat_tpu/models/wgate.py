@@ -43,18 +43,21 @@ class BandedMSA(nn.Module):
     tokens_per_frame: int
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g, n, d = x.shape
         h, f, vtok = self.num_heads, self.frames, self.tokens_per_frame
         dh = d // h
-        qkv = nn.Dense(3 * d, kernel_init=DENSE_INIT, name="qkv")(x)
+        cdt = jnp.dtype(self.compute_dtype)
+        qkv = nn.Dense(3 * d, kernel_init=DENSE_INIT, dtype=cdt, name="qkv")(x)
         qkv = qkv.reshape(g, f, vtok, 3, h, dh).transpose(3, 0, 4, 1, 2, 5)  # (3,G,H,F,V,dh)
         q, k, v = qkv[0], qkv[1], qkv[2]
         out = banded_frame_attention(q, k, v, jnp.asarray(self.band, jnp.float32), scale=dh**-0.5)
         out = out.transpose(0, 2, 3, 1, 4).reshape(g, n, d)  # (G,F,V,H,dh) → (G,N,D)
-        out = nn.Dense(d, kernel_init=DENSE_INIT, name="proj")(out)
+        out = out.astype(cdt)
+        out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
 
@@ -69,6 +72,7 @@ class WPartAttentionBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     ff_ratio: float = 2.0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -84,11 +88,13 @@ class WPartAttentionBlock(nn.Module):
             tokens_per_frame=self.window_size,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            compute_dtype=self.compute_dtype,
             name="attn",
         )(xw, train=train)
         x = shortcut + spatial_window_reverse(xw, self.window_size, f, k)
         x = x + FeedForward(
-            hidden=int(self.dim * self.ff_ratio), out=self.dim, drop_rate=self.drop, name="ff"
+            hidden=int(self.dim * self.ff_ratio), out=self.dim, drop_rate=self.drop,
+            compute_dtype=self.compute_dtype, name="ff",
         )(layer_norm("norm2")(x), train=train)
         return x
 
@@ -110,6 +116,7 @@ class WGATE(nn.Module):
     drop_rate: float = 0.1
     attn_drop_rate: float = 0.0
     ff_ratio: float = 2.0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -131,6 +138,7 @@ class WGATE(nn.Module):
                 drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate,
                 ff_ratio=self.ff_ratio,
+                compute_dtype=self.compute_dtype,
                 name=f"layers_{i}",
             )(x, train=train)
         x = layer_norm("norm")(x)

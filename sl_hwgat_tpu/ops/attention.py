@@ -225,5 +225,7 @@ def banded_frame_attention(
 
     a = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
     a = a / jnp.sum(a, axis=-1, keepdims=True)
-    return jnp.einsum("ghfvw,ghfwd->ghfvd", a, v_band,
+    # bf16 inputs: scores/softmax stay f32 (above); the AV matmul runs in the
+    # value dtype with f32 accumulation (mixed-precision fast path)
+    return jnp.einsum("ghfvw,ghfwd->ghfvd", a.astype(v_band.dtype), v_band,
                       preferred_element_type=jnp.float32)

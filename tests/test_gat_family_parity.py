@@ -52,3 +52,26 @@ def test_wgate_parity():
 def test_gate_parity():
     x = np.random.default_rng(2).normal(size=(2, 16, 29, 2)).astype(np.float32)
     _compare(_ref("GATE"), GATE(kp_dim=2, temporal_dim=16, num_classes=5), x)
+
+
+def test_wgate_gate_bf16_compute_close_to_f32():
+    """Mixed precision on the banded models: bf16 forward stays close to f32
+    (scores/softmax remain f32; projections and AV run bf16)."""
+    import numpy as np
+
+    from sl_hwgat_tpu.models.wgate import WGATE
+    from sl_hwgat_tpu.models.gate import GATE
+
+    for cls, kps in ((WGATE, 64), (GATE, 29)):
+        f32 = cls(kp_dim=2, num_kps=kps, temporal_dim=8, num_classes=5,
+                  embed_dim=32, depths=2, num_heads=2, drop_rate=0.0)
+        bf16 = cls(kp_dim=2, num_kps=kps, temporal_dim=8, num_classes=5,
+                   embed_dim=32, depths=2, num_heads=2, drop_rate=0.0,
+                   compute_dtype="bfloat16")
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, kps, 2)),
+                        jnp.float32)
+        variables = f32.init(jax.random.PRNGKey(0), x, train=False)
+        a = np.asarray(f32.apply(variables, x, train=False))
+        b = np.asarray(bf16.apply(variables, x, train=False))
+        assert np.isfinite(b).all()
+        assert np.max(np.abs(a - b)) < 0.15 * (np.max(np.abs(a)) + 1e-3), cls.__name__
