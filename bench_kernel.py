@@ -143,6 +143,28 @@ def main():
         print(json.dumps({"impl": impl, "time_us": per_op * 1e6,
                           "tflops": flops_per_op / per_op / 1e12}))
         return
+    elif impl in ("hybrid", "hybrid_bf16"):
+        from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention
+
+        if impl.endswith("bf16"):
+            kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+            body = lambda q: hybrid_window_attention(
+                q.astype(jnp.bfloat16), kb, vb, adj, scale=0.125, stack=4
+            ).astype(jnp.float32)
+        else:
+            body = lambda q: hybrid_window_attention(q, k, v, adj, scale=0.125, stack=4)
+    elif impl in ("hybrid_bwd", "hybrid_bwd_bf16"):
+        from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention
+
+        if impl.endswith("bf16"):
+            k, v = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+
+        def fh(qq):
+            o = hybrid_window_attention(
+                qq.astype(k.dtype), k, v, adj, scale=0.125, stack=4)
+            return jnp.sum(o * o)
+
+        body = lambda qq: jax.grad(fh)(qq).astype(jnp.float32)
     elif impl == "stacked_bf16":
         kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
         body = lambda q: stacked_window_attention(

@@ -135,20 +135,29 @@ class WindowedMSA(nn.Module):
             impl = "pallas" if jax.default_backend() == "tpu" else "stacked"
 
         def fused(qu, ku, vu, mask, **tail_kw):
-            """Fused Pallas kernel — per-shard under shard_map when a
-            `parallel.kernel_sharding` context is active."""
+            """Fused attention — per-shard under shard_map when a
+            `parallel.kernel_sharding` context is active. 'hybrid' = XLA
+            batched GEMMs + fused Pallas masked-softmax (one HBM round-trip
+            of scores); 'pallas' = fully-fused kernel (scores never leave
+            VMEM). See ops/hybrid_attention.py for the on-chip tradeoff."""
             from sl_hwgat_tpu.parallel import kernel_sharding
-            from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
 
             kw = dict(scale=scale, stack=stack, pad_tokens=pad,
                       prune_u=prune_u, **tail_kw)
             out = kernel_sharding.call_sharded(qu, ku, vu, mask, **kw)
             if out is None:
-                out = pallas_window_attention(qu, ku, vu, mask, **kw)
+                if impl == "hybrid":
+                    from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention
+
+                    out = hybrid_window_attention(qu, ku, vu, mask, **kw)
+                else:
+                    from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
+
+                    out = pallas_window_attention(qu, ku, vu, mask, **kw)
             return out
 
         def attend(qu, ku, vu, mask):
-            if impl == "pallas":
+            if impl in ("pallas", "hybrid"):
                 return fused(qu, ku, vu, mask)
             return stacked_window_attention(
                 qu, ku, vu, mask, scale=scale, stack=stack, pad_tokens=pad,
@@ -168,7 +177,7 @@ class WindowedMSA(nn.Module):
             # major→minor and heads were appended after the group index, so the
             # shift-masked units are the last per_f of every f consecutive
             # groups of per_f.
-            if impl == "pallas" and per_f % stack == 0:
+            if impl in ("pallas", "hybrid") and per_f % stack == 0:
                 # One fused kernel over all units: the kernel selects the plain
                 # vs shift-masked adjacency per supertile (no split/concat HBM
                 # round-trip, uniform unit axis for sharding).

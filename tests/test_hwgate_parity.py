@@ -132,3 +132,13 @@ def test_full_model_pallas_impl_matches_stacked():
     a = stacked.apply(variables, x, train=False)
     b = fused.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
+
+
+def test_full_model_hybrid_impl_matches_stacked():
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 16, 64, 2)), jnp.float32)
+    stacked = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5, attn_impl="stacked")
+    hybrid = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5, attn_impl="hybrid")
+    variables = stacked.init(jax.random.PRNGKey(0), x, train=False)
+    a = stacked.apply(variables, x, train=False)
+    b = hybrid.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
