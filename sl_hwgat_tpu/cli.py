@@ -44,6 +44,11 @@ def parser():
                    help="mixed precision: bfloat16 runs every projection/FFN "
                         "matmul and the attention kernel in bf16 (params, "
                         "layernorm, softmax, head and loss stay f32)")
+    p.add_argument("--attn-impl", type=str, default="auto",
+                   choices=["auto", "stacked", "pallas", "hybrid"],
+                   help="attention path: auto (pallas on TPU, stacked "
+                        "elsewhere), stacked (jnp/XLA), pallas (fully-fused "
+                        "kernel), hybrid (XLA GEMMs + fused masked-softmax)")
     return p.parse_args()
 
 
@@ -163,6 +168,8 @@ def main():
         cfg.overrides = dict(cfg.overrides, attn_dtype=args.attn_dtype)
     if args.compute_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE", "WGATE", "GATE"):
         cfg.overrides = dict(cfg.overrides, compute_dtype=args.compute_dtype)
+    if args.attn_impl != "auto" and cfg.model_type in ("HWGATE", "HGATE"):
+        cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)
     print(cfg.dataset)
     print("Model Name:-", cfg.save_model_path)
     print("Running Mode:-", cfg.mode)
