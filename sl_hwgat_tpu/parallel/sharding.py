@@ -91,12 +91,27 @@ def make_sharded_steps(model, optimizer, mesh: Mesh, variables, opt_state,
     from sl_hwgat_tpu.train.loop import make_steps
 
     var_sh = variable_sharding_rules(variables, mesh, use_tp)
-    variables = jax.tree.map(jax.device_put, variables, var_sh)
     opt_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), opt_state)
 
+    def place(tree, shardings):
+        if jax.process_count() == 1:
+            return jax.tree.map(jax.device_put, tree, shardings)
+        # Multi-process: device_put cannot target non-addressable devices.
+        # Every process holds the full value (identical seeded init), so
+        # assemble global arrays from it — jax extracts the addressable
+        # shards per process for any PartitionSpec.
+        import numpy as np
+
+        return jax.tree.map(
+            lambda x, s: jax.make_array_from_process_local_data(
+                s, np.asarray(x), np.shape(x)),
+            tree, shardings,
+        )
+
+    variables = place(variables, var_sh)
     # opt_state mirrors params structure inside; replicating it is correct and
     # simple (optimizer math is elementwise; GSPMD re-shards as needed).
-    opt_state = jax.tree.map(jax.device_put, opt_state, opt_sh)
+    opt_state = place(opt_state, opt_sh)
 
     x_sh, y_sh, v_sh = batch_sharding(mesh, seq_axis=1 if shard_sequence else None)
     rep = NamedSharding(mesh, P())
@@ -104,9 +119,15 @@ def make_sharded_steps(model, optimizer, mesh: Mesh, variables, opt_state,
     train_raw, eval_raw = make_steps(
         model, optimizer, criterion_type, rng_streams, mutable_stats, donate=False
     )
+    # out_shardings pin the state outputs to the input shardings so the
+    # step composes with itself across calls — without this, GSPMD may pick
+    # different output shardings (e.g. re-shard adam mu/nu to match tp
+    # params), which a multi-process jit cannot implicitly reshard on the
+    # next call's inputs.
     train_step = jax.jit(
         train_raw.__wrapped__,
         in_shardings=(var_sh, opt_sh, x_sh, y_sh, v_sh, rep, rep, rep),
+        out_shardings=(var_sh, opt_sh, rep, rep, rep),
         donate_argnums=(0, 1) if donate else (),
     )
     eval_step = jax.jit(

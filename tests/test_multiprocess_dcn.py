@@ -62,3 +62,79 @@ def test_two_process_dp():
         assert p.returncode == 0, out
     assert any("proc 0 ok" in o for o in outs)
     assert any("proc 1 ok" in o for o in outs)
+
+
+TRAIN_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from sl_hwgat_tpu.train import dist as dist_lib
+
+dist_lib.initialize(
+    coordinator_address="localhost:9877",
+    num_processes=2,
+    process_id=int(sys.argv[1]),
+)
+assert jax.process_count() == 2
+
+from sl_hwgat_tpu.configs import RunConfig
+
+workdir = sys.argv[2]
+cfg = RunConfig(
+    dataset="SYNTH", model_type="HWGATE", mode="train", time="dist",
+    input_root=os.path.join(workdir, "input"),
+    output_root=os.path.join(workdir, "output", f"proc{sys.argv[1]}"),
+)
+cfg.epochs = 1
+cfg.batch_size = 4
+cfg.n_workers = 2
+cfg.overrides = dict(embed_dim=32, depths=(1, 1), num_heads=(2, 2))
+
+results, state = dist_lib.run_distributed(cfg)
+print(f"proc {sys.argv[1]} train_loss {results['train'][0]:.6f} "
+      f"val_loss {results['val'][0]:.6f}", flush=True)
+"""
+
+
+def test_two_process_training(tmp_path):
+    """Full distributed training flow over 2 localhost processes: identical
+    global metrics on both hosts, checkpoint written by process 0 only."""
+    import re
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from sl_hwgat_tpu.data.synthetic import write_synthetic_dataset
+
+    write_synthetic_dataset(str(tmp_path / "input"))
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", TRAIN_WORKER, str(i), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, out
+    losses = {}
+    for o in outs:
+        m = re.search(r"proc (\d) train_loss ([\d.]+) val_loss ([\d.]+)", o)
+        assert m, o
+        losses[m.group(1)] = (m.group(2), m.group(3))
+    # both hosts computed identical global metrics
+    assert losses["0"] == losses["1"], losses
+    # checkpoint from process 0 only
+    import glob
+
+    assert glob.glob(str(tmp_path / "output" / "proc0" / "**" / "*best_loss.ckpt"),
+                     recursive=True)
+    assert not glob.glob(str(tmp_path / "output" / "proc1" / "**" / "*.ckpt"),
+                         recursive=True)
