@@ -39,10 +39,10 @@ CAL_MEM_BW = 1.05e12
 UNITS = 12288  # HWGATE stage 0 at batch 16: 16·96 groups × 4 windows × 2 heads
 CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", "300"))
 
-# (name, bench_kernel impl, env overlay, dtype, bytes/elem)
+# (name, bench_kernel impl, env overlay, dtype, bytes/elem) — preference
+# order per the on-chip sweeps: fused bf16 tg16 is the production config
+# (batched in-kernel matmuls measured neutral; hybrid measured slower fwd).
 CONFIGS = [
-    ("fused_bf16_batched", "pallas_bf16",
-     {"PALLAS_ATTN_BATCHED": "1"}, "bfloat16", 2),
     ("fused_bf16_tg16", "pallas_bf16", {}, "bfloat16", 2),
     ("fused_f32", "pallas", {}, "float32", 4),
     ("stacked_xla_f32", "stacked", {}, "float32", 4),
@@ -114,8 +114,10 @@ def main():
     roofline_time = max(t_compute, t_memory)
     roofline_edges_per_sec = edges / roofline_time
 
+    metric = ("fused_window_attention_edges_per_sec" if name.startswith("fused")
+              else "stacked_window_attention_edges_per_sec")
     print(json.dumps({
-        "metric": "fused_window_attention_edges_per_sec",
+        "metric": metric,
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / roofline_edges_per_sec, 4),

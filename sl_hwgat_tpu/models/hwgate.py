@@ -144,7 +144,7 @@ class WindowedMSA(nn.Module):
 
             kw = dict(scale=scale, stack=stack, pad_tokens=pad,
                       prune_u=prune_u, **tail_kw)
-            out = kernel_sharding.call_sharded(qu, ku, vu, mask, **kw)
+            out = kernel_sharding.call_sharded(qu, ku, vu, mask, impl=impl, **kw)
             if out is None:
                 if impl == "hybrid":
                     from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention

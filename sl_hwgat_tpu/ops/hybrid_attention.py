@@ -33,7 +33,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sl_hwgat_tpu.ops.pallas_attention import (
-    _ADJ_CACHE,
     _cache_adj,
     _interpret,
     _make_sel,

@@ -335,8 +335,11 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
     (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
+    # Batched + dual is rejected by Mosaic (i1 vector reshape in the per-tile
+    # mask select, kernel_batch4: dual_batched failed) — and the batched
+    # variant measured neutral anyway; keep the validated unrolled path there.
     kern = functools.partial(
-        _fwd_kernel_batched if _batched() else _fwd_kernel,
+        _fwd_kernel_batched if (_batched() and not dual) else _fwd_kernel,
         scale=scale, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
     )
@@ -361,7 +364,7 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh, preferred=8)
     kern = functools.partial(
-        _bwd_kernel_batched if _batched() else _bwd_kernel,
+        _bwd_kernel_batched if (_batched() and not dual) else _bwd_kernel,
         scale=scale, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
     )

@@ -56,9 +56,12 @@ def sharded_window_attention(mesh, axes=("dp", "sp")):
 
 
 def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
-                 tail_adj=None, units_per_group=None, groups=None):
+                 tail_adj=None, units_per_group=None, groups=None,
+                 impl: str = "pallas"):
     """Run the fused kernel per-shard if a context is active and the unit axis
-    divides evenly; return None when not applicable (caller falls back)."""
+    divides evenly; return None when not applicable (caller falls back).
+    ``impl``: 'pallas' (fully-fused kernel) or 'hybrid' (XLA GEMMs + fused
+    masked-softmax) — each shard runs its own instance."""
     ctx = _CTX
     if ctx is None:
         return None
@@ -75,7 +78,10 @@ def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
         # a shard must hold whole temporal groups so no supertile mixes planes
         return None
 
-    from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
+    if impl == "hybrid":
+        from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention as attn_fn
+    else:
+        from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention as attn_fn
 
     sizes = [mesh.shape[a] for a in axes]
     has_prune = prune_u is not None
@@ -87,7 +93,7 @@ def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
         for a, s in zip(axes, sizes):
             sid = sid * s + jax.lax.axis_index(a)
         offset = sid * per_shard
-        return pallas_window_attention(
+        return attn_fn(
             q, k, v, adj, scale=scale, stack=stack, pad_tokens=pad_tokens,
             prune_u=pu_ if has_prune else None, tail_adj=tail_adj,
             units_per_group=units_per_group, groups=groups,

@@ -94,6 +94,20 @@ def run_distributed(cfg, mesh_shape: tuple | None = None, progress=None):
     key = jax.random.PRNGKey(cfg.seed)
     hist = state.history
     best_val_loss = 9999.0
+    train_loss = train_acc = val_loss = val_acc = float("nan")
+
+    # Replicate-to-host gather for checkpointing, jitted ONCE per tree
+    # structure (a fresh lambda per epoch would re-trace the full-state
+    # collective every improvement).
+    rep = NamedSharding(mesh, P())
+    _gather_cache = {}
+
+    def to_host(tree, tag):
+        if tag not in _gather_cache:
+            _gather_cache[tag] = jax.jit(
+                lambda t: t, out_shardings=jax.tree.map(lambda _: rep, tree))
+        gathered = _gather_cache[tag](tree)
+        return jax.tree.map(lambda a: np.asarray(a.addressable_data(0)), gathered)
 
     for epoch in range(state.epoch, cfg.epochs + 1):
         state.opt_state = set_lr(
@@ -102,9 +116,9 @@ def run_distributed(cfg, mesh_shape: tuple | None = None, progress=None):
             if cfg.scheduler == "CosineAnnealingLR" else cfg.lr,
         )
         tot, correct, seen, batches = 0.0, 0.0, 0.0, 0
+        # the Loader pads the final batch to batch_size with a validity
+        # mask, so every host sees identical fixed-shape batches
         for step, (x, y, valid) in enumerate(train_loader.epoch(epoch)):
-            if x.shape[0] != cfg.batch_size:
-                continue  # ragged tail: keep every host in lockstep
             gx, gy, gv = to_global(x, y, valid)
             out = train_step(state.variables, state.opt_state, gx, gy, gv,
                              key, epoch, step)
@@ -116,8 +130,6 @@ def run_distributed(cfg, mesh_shape: tuple | None = None, progress=None):
 
         vtot, vcorrect, vseen, vbatches = 0.0, 0.0, 0.0, 0
         for x, y, valid in val_loader.epoch(epoch):
-            if x.shape[0] != cfg.batch_size:
-                continue
             gx, gy, gv = to_global(x, y, valid)
             loss, c, v, _ = eval_step(state.variables, gx, gy, gv, cfg.topk)
             vtot += float(loss); vcorrect += float(c); vseen += float(v)
@@ -137,19 +149,9 @@ def run_distributed(cfg, mesh_shape: tuple | None = None, progress=None):
             # processes), so every host participates; only process 0 writes.
             from sl_hwgat_tpu.train.state import TrainState
 
-            rep = NamedSharding(mesh, P())
-
-            def to_host(tree):
-                gathered = jax.jit(
-                    lambda t: t,
-                    out_shardings=jax.tree.map(lambda _: rep, tree),
-                )(tree)
-                return jax.tree.map(
-                    lambda a: np.asarray(a.addressable_data(0)), gathered)
-
             host_state = TrainState(
-                variables=to_host(state.variables),
-                opt_state=to_host(state.opt_state),
+                variables=to_host(state.variables, "variables"),
+                opt_state=to_host(state.opt_state, "opt_state"),
                 epoch=state.epoch, base_lr=state.base_lr, history=state.history,
             )
             if pid == 0:
