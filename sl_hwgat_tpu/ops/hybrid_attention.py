@@ -54,7 +54,7 @@ def _softmax_fwd_kernel(u_ref, sel_ref, s_ref, allowed_ref, fill_ref, p_ref,
         else:
             allowed, fill = allowed_ref[:], fill_ref[:]
         a, _ = _masked_attn_matrix(s_ref[g], allowed, fill, pu, zero_quirk)
-        p_ref[g] = a
+        p_ref[g] = a.astype(p_ref.dtype)
 
 
 def _softmax_bwd_kernel(u_ref, sel_ref, s_ref, dp_ref, allowed_ref, fill_ref,
@@ -69,12 +69,13 @@ def _softmax_bwd_kernel(u_ref, sel_ref, s_ref, dp_ref, allowed_ref, fill_ref,
             allowed, fill = allowed_ref[:], fill_ref[:]
         s = s_ref[g]
         a, s_masked = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
-        dp = dp_ref[g]
+        dp = dp_ref[g].astype(jnp.float32)
         ds = a * (dp - jnp.sum(dp * a, axis=-1, keepdims=True))
         ds_ref[g] = ds * (s_masked == s).astype(jnp.float32)
 
 
-def _softmax_call(kernel, t, sn, tiles_per_step, args, dual):
+def _softmax_call(kernel, t, sn, tiles_per_step, args, dual,
+                  out_dtype=jnp.float32):
     grid = (t // tiles_per_step,)
     tile = pl.BlockSpec((tiles_per_step, sn, sn), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -89,14 +90,15 @@ def _softmax_call(kernel, t, sn, tiles_per_step, args, dual):
     in_specs = [scalar, sel] + [tile] * n_tiles_in + [mask, mask]
     return pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=tile,
-        out_shape=jax.ShapeDtypeStruct((t, sn, sn), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, sn, sn), out_dtype),
         interpret=_interpret(),
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _masked_softmax(s, u_val, sel, prune, adj_key_masks, shape_info):
-    p, _ = _masked_softmax_fwd(s, u_val, sel, prune, adj_key_masks, shape_info)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _masked_softmax(s, u_val, sel, prune, adj_key_masks, shape_info, p_dtype):
+    p, _ = _masked_softmax_fwd(s, u_val, sel, prune, adj_key_masks, shape_info,
+                               p_dtype)
     return p
 
 
@@ -107,7 +109,8 @@ def _build(adj_key_masks, shape_info):
     return allowed_m, fill_m, dual, zero_quirk
 
 
-def _masked_softmax_fwd(s, u_val, sel, prune, adj_key_masks, shape_info):
+def _masked_softmax_fwd(s, u_val, sel, prune, adj_key_masks, shape_info,
+                        p_dtype):
     allowed_m, fill_m, dual, zero_quirk = _build(adj_key_masks, shape_info)
     t, sn, _ = s.shape
     tiles_per_step = _pick_tiles_per_step(t, sn, sn)
@@ -117,11 +120,11 @@ def _masked_softmax_fwd(s, u_val, sel, prune, adj_key_masks, shape_info):
     )
     p = _softmax_call(kern, t, sn, tiles_per_step,
                       (u_val, sel, s, jnp.asarray(allowed_m), jnp.asarray(fill_m)),
-                      dual)
+                      dual, out_dtype=jnp.dtype(p_dtype))
     return p, (s, u_val, sel)
 
 
-def _masked_softmax_bwd(prune, adj_key_masks, shape_info, res, dp):
+def _masked_softmax_bwd(prune, adj_key_masks, shape_info, p_dtype, res, dp):
     s, u_val, sel = res
     allowed_m, fill_m, dual, zero_quirk = _build(adj_key_masks, shape_info)
     t, sn, _ = s.shape
@@ -161,8 +164,10 @@ def hybrid_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
 
     s = jnp.einsum("tnd,tmd->tnm", qs * jnp.asarray(scale, qs.dtype), ks,
                    preferred_element_type=jnp.float32)
+    # P is written in the value dtype: halves its HBM round-trip under bf16
+    # and feeds the AV GEMM its native input type (softmax math stays f32).
     p = _masked_softmax(s, u_val, sel, prune, (adj_key, tail, bool(zero_quirk)),
-                        (n, np_, stack, sn))
-    o = jnp.einsum("tnm,tmd->tnd", p.astype(vs.dtype), vs,
+                        (n, np_, stack, sn), jnp.dtype(vs.dtype).name)
+    o = jnp.einsum("tnm,tmd->tnd", p, vs,
                    preferred_element_type=jnp.float32)
     return o.reshape(u_units, np_, dh)[:, :n]
