@@ -132,7 +132,14 @@ class WindowedMSA(nn.Module):
         if impl == "auto":
             import jax
 
-            impl = "pallas" if jax.default_backend() == "tpu" else "stacked"
+            if jax.default_backend() == "tpu":
+                # Measured policy (v5e, tools/kernel_batch6_results.jsonl):
+                # fwd-only the fully-fused kernel wins (1191 vs 1782µs bf16);
+                # fwd+bwd the hybrid wins (3194 vs 4199µs) — its backward
+                # reuses XLA's fast GEMMs for the 4 gradient matmuls.
+                impl = "hybrid" if train else "pallas"
+            else:
+                impl = "stacked"
 
         def fused(qu, ku, vu, mask, **tail_kw):
             """Fused attention — per-shard under shard_map when a
