@@ -53,7 +53,8 @@ def _softmax_fwd_kernel(u_ref, sel_ref, s_ref, allowed_ref, fill_ref, p_ref,
             fill = jnp.where(sel, fill_ref[1], fill_ref[0])
         else:
             allowed, fill = allowed_ref[:], fill_ref[:]
-        a, _ = _masked_attn_matrix(s_ref[g], allowed, fill, pu, zero_quirk)
+        a, _ = _masked_attn_matrix(s_ref[g].astype(jnp.float32), allowed,
+                                   fill, pu, zero_quirk)
         p_ref[g] = a.astype(p_ref.dtype)
 
 
@@ -67,11 +68,11 @@ def _softmax_bwd_kernel(u_ref, sel_ref, s_ref, dp_ref, allowed_ref, fill_ref,
             fill = jnp.where(sel, fill_ref[1], fill_ref[0])
         else:
             allowed, fill = allowed_ref[:], fill_ref[:]
-        s = s_ref[g]
+        s = s_ref[g].astype(jnp.float32)
         a, s_masked = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
         dp = dp_ref[g].astype(jnp.float32)
         ds = a * (dp - jnp.sum(dp * a, axis=-1, keepdims=True))
-        ds_ref[g] = ds * (s_masked == s).astype(jnp.float32)
+        ds_ref[g] = (ds * (s_masked == s).astype(jnp.float32)).astype(ds_ref.dtype)
 
 
 def _softmax_call(kernel, t, sn, tiles_per_step, args, dual,
@@ -136,7 +137,7 @@ def _masked_softmax_bwd(prune, adj_key_masks, shape_info, p_dtype, res, dp):
     ds = _softmax_call(kern, t, sn, tiles_per_step,
                        (u_val, sel, s, dp, jnp.asarray(allowed_m),
                         jnp.asarray(fill_m)),
-                       dual)
+                       dual, out_dtype=s.dtype)
     return ds, None, None
 
 
@@ -164,6 +165,14 @@ def hybrid_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
 
     s = jnp.einsum("tnd,tmd->tnm", qs * jnp.asarray(scale, qs.dtype), ks,
                    preferred_element_type=jnp.float32)
+    # PALLAS_HYBRID_S_BF16=1: store the score tensor in bf16 (halves its HBM
+    # round-trip; the kernel upcasts to f32 for the softmax math). Slightly
+    # perturbs the ==0 zero-quirk comparison vs f32 scores — experiment-gated
+    # until training quality is validated on hardware.
+    import os
+
+    if os.environ.get("PALLAS_HYBRID_S_BF16") == "1" and vs.dtype == jnp.bfloat16:
+        s = s.astype(jnp.bfloat16)
     # P is written in the value dtype: halves its HBM round-trip under bf16
     # and feeds the AV GEMM its native input type (softmax math stays f32).
     p = _masked_softmax(s, u_val, sel, prune, (adj_key, tail, bool(zero_quirk)),

@@ -111,3 +111,29 @@ def test_sharded_steps_with_fused_pallas_kernel(setup):
         v1["params"], v2["params"],
     )
     assert max(jax.tree.leaves(diffs)) < 1e-4, diffs
+
+
+def test_sharded_steps_with_hybrid_impl(setup):
+    """attn_impl='hybrid' under the GSPMD-sharded step (the TPU auto policy
+    uses hybrid for training) must match the stacked single-device step."""
+    model, optimizer, state, x, y, valid = setup
+    hybrid_model = HWGATE(
+        kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
+        depths=(1, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
+        attn_impl="hybrid",
+    )
+    key = jax.random.PRNGKey(0)
+    train_ref, _ = make_steps(model, optimizer, rng_streams=("dropout",), donate=False)
+    v1, o1, loss1, c1, n1 = train_ref(
+        state.variables, state.opt_state, jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(valid), key, 0, 0,
+    )
+    mesh = make_mesh((2, 2, 2))
+    train_sh, _, vars_sh, opt_sh = make_sharded_steps(
+        hybrid_model, optimizer, mesh, state.variables, state.opt_state,
+        rng_streams=("dropout",),
+    )
+    v2, o2, loss2, c2, n2 = train_sh(
+        vars_sh, opt_sh, jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid), key, 0, 0
+    )
+    np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
