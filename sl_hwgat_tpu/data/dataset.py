@@ -113,13 +113,22 @@ class Loader:
 
 
 def load_artifacts(cfg_data):
-    """Read the four preprocessed pickles. ≡ `utils.py:18-26`."""
+    """Read the four preprocessed pickles. ≡ `utils.py:18-26`.
+
+    The data map is either the reference-style in-memory pickle or a
+    ``{"__clipstore__": path}`` marker pointing at an mmap-backed clip store
+    (`data/clipstore.py`, written by ``preprocess(..., store='clipstore')``).
+    """
     with open(cfg_data.vid_split_path, "rb") as f:
         vid_splits = pickle.load(f)
     with open(cfg_data.vid_class_path, "rb") as f:
         vid_cls = pickle.load(f)
     with open(cfg_data.data_map_path, "rb") as f:
         vid_feat = pickle.load(f)
+    if isinstance(vid_feat, dict) and "__clipstore__" in vid_feat:
+        from sl_hwgat_tpu.data.clipstore import ClipStore
+
+        vid_feat = ClipStore(vid_feat["__clipstore__"])
     return vid_splits, vid_cls, vid_feat
 
 

@@ -22,7 +22,8 @@ from sl_hwgat_tpu.configs import DataConfig, build_static_transform
 
 def preprocess(meta_csv: str, dataset_name: str, keypoint_dir: str,
                pose_method: str = "mediapipe", input_root: str = "input",
-               feature_type: str = "keypoints") -> DataConfig:
+               feature_type: str = "keypoints",
+               store: str = "pickle") -> DataConfig:
     cfg = DataConfig(dataset_name, feature_type, input_root)
     os.makedirs(os.path.dirname(cfg.vid_split_path), exist_ok=True)
     static_transform = build_static_transform(pose_method)
@@ -60,8 +61,18 @@ def preprocess(meta_csv: str, dataset_name: str, keypoint_dir: str,
         pickle.dump(vid_splits, f)
     with open(cfg.vid_class_path, "wb") as f:
         pickle.dump(vid_class, f)
-    with open(cfg.data_map_path, "wb") as f:
-        pickle.dump(data_map, f)
+    if store == "clipstore" and feature_type == "keypoints":
+        # production store: mmap-backed float records (data/clipstore.py);
+        # the data_map pickle becomes a marker the loader resolves
+        from sl_hwgat_tpu.data.clipstore import write_clipstore
+
+        cs_path = cfg.data_map_path + ".cs"
+        write_clipstore(cs_path, data_map)
+        with open(cfg.data_map_path, "wb") as f:
+            pickle.dump({"__clipstore__": cs_path}, f)
+    else:
+        with open(cfg.data_map_path, "wb") as f:
+            pickle.dump(data_map, f)
     with open(cfg.class_map_path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["class", "word"])
