@@ -132,14 +132,14 @@ class WindowedMSA(nn.Module):
         if impl == "auto":
             import jax
 
-            if jax.default_backend() == "tpu":
-                # Measured policy (v5e, tools/kernel_batch6_results.jsonl):
-                # fwd-only the fully-fused kernel wins (1191 vs 1782µs bf16);
-                # fwd+bwd the hybrid wins (3194 vs 4199µs) — its backward
-                # reuses XLA's fast GEMMs for the 4 gradient matmuls.
-                impl = "hybrid" if train else "pallas"
-            else:
-                impl = "stacked"
+            # Measured policy (v5e, tools/kernel_batch*_results.jsonl): the
+            # fully-fused kernel wins both in isolation fwd (1191 vs 1782µs
+            # bf16) and in the FULL train step (170.7 vs 184.6ms at batch 16)
+            # — the hybrid's isolated fwd+bwd win (3194 vs 4199µs) does not
+            # survive in-graph, where its (T,SN,SN) score round-trips contend
+            # with the projection GEMMs' HBM traffic. Hybrid stays selectable
+            # via attn_impl='hybrid' / --attn-impl.
+            impl = "pallas" if jax.default_backend() == "tpu" else "stacked"
 
         def fused(qu, ku, vu, mask, **tail_kw):
             """Fused attention — per-shard under shard_map when a
