@@ -166,7 +166,7 @@ def main():
     cfg.ckpt_backend = args.ckpt_backend
     if args.attn_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, attn_dtype=args.attn_dtype)
-    if args.compute_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE", "WGATE", "GATE"):
+    if args.compute_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE", "WGATE", "GATE", "Transformer"):
         cfg.overrides = dict(cfg.overrides, compute_dtype=args.compute_dtype)
     if args.attn_impl != "auto" and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)

@@ -27,23 +27,27 @@ class TorchMHA(nn.Module):
     d_model: int
     nhead: int
     dropout: float = 0.1
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, train: bool = False):
         b, t, d = x.shape
         h = self.nhead
         dh = d // h
-        qkv = nn.Dense(3 * d, kernel_init=_XAVIER, name="in_proj")(x)
+        cdt = jnp.dtype(self.compute_dtype)
+        qkv = nn.Dense(3 * d, kernel_init=_XAVIER, dtype=cdt, name="in_proj")(x)
         qkv = qkv.reshape(b, t, 3, h, dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        s = jnp.einsum("bhid,bhjd->bhij", q / math.sqrt(dh), k)
+        s = jnp.einsum("bhid,bhjd->bhij", q / math.sqrt(dh), k,
+                       preferred_element_type=jnp.float32)
         if key_padding_mask is not None:
             s = s + jnp.where(key_padding_mask, BIG_NEG, 0.0)[:, None, None, :]
-        a = jax.nn.softmax(s, axis=-1)
+        a = jax.nn.softmax(s, axis=-1)  # f32 softmax
         a = nn.Dropout(self.dropout, deterministic=not train)(a)
-        out = jnp.einsum("bhij,bhjd->bhid", a, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
-        return nn.Dense(d, kernel_init=_XAVIER, name="out_proj")(out)
+        out = jnp.einsum("bhij,bhjd->bhid", a.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(cdt).transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, kernel_init=_XAVIER, dtype=cdt, name="out_proj")(out)
 
 
 class EncoderLayer(nn.Module):
@@ -53,17 +57,20 @@ class EncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float = 0.1
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, train: bool = False):
-        sa = TorchMHA(self.d_model, self.nhead, self.dropout, name="self_attn")(
+        cdt = jnp.dtype(self.compute_dtype)
+        sa = TorchMHA(self.d_model, self.nhead, self.dropout,
+                      compute_dtype=self.compute_dtype, name="self_attn")(
             x, key_padding_mask, train=train
         )
         sa = nn.Dropout(self.dropout, deterministic=not train)(sa)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + sa)
-        h = nn.Dense(self.dim_feedforward, kernel_init=_XAVIER, name="linear1")(x)
+        h = nn.Dense(self.dim_feedforward, kernel_init=_XAVIER, dtype=cdt, name="linear1")(x)
         h = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(h))
-        h = nn.Dense(self.d_model, kernel_init=_XAVIER, name="linear2")(h)
+        h = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=cdt, name="linear2")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
@@ -81,6 +88,7 @@ class TransformerClassifier(nn.Module):
     dropout: float = 0.1
     max_len: int = 64
     pool: str = "mean"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -95,7 +103,8 @@ class TransformerClassifier(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         for i in range(self.num_encoder_layers):
             x = EncoderLayer(
-                self.d_model, self.nhead, self.dim_feedforward, self.dropout, name=f"layers_{i}"
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                compute_dtype=self.compute_dtype, name=f"layers_{i}",
             )(x, mask, train=train)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if self.pool == "concat":

@@ -34,3 +34,20 @@ def test_transformer_forward_parity():
     variables = jax.tree.map(jnp.asarray, transformer_from_torch(sd))
     got = ours.apply(variables, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-4)
+
+
+def test_transformer_bf16_compute_close_to_f32():
+    import numpy as np
+
+    from sl_hwgat_tpu.models.transformer import TransformerClassifier
+
+    kw = dict(input_dim=58, num_classes=5, d_model=32, nhead=2,
+              dim_feedforward=64, num_encoder_layers=2, dropout=0.0, max_len=8)
+    f32 = TransformerClassifier(**kw)
+    bf16 = TransformerClassifier(**kw, compute_dtype="bfloat16")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 29, 2)), jnp.float32)
+    variables = f32.init(jax.random.PRNGKey(0), x, train=False)
+    a = np.asarray(f32.apply(variables, x, train=False))
+    b = np.asarray(bf16.apply(variables, x, train=False))
+    assert np.isfinite(b).all()
+    assert np.max(np.abs(a - b)) < 0.15 * (np.max(np.abs(a)) + 1e-3)
