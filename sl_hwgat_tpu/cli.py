@@ -44,6 +44,9 @@ def parser():
                    help="mixed precision: bfloat16 runs every projection/FFN "
                         "matmul and the attention kernel in bf16 (params, "
                         "layernorm, softmax, head and loss stay f32)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "update (large effective batch at microbatch memory)")
     p.add_argument("--attn-impl", type=str, default="auto",
                    choices=["auto", "stacked", "pallas", "hybrid"],
                    help="attention path: auto (pallas on TPU, stacked "
@@ -88,7 +91,8 @@ def run(cfg, progress=True):
     print("total trainable params :", int(n_params))
 
     train_step, eval_step = make_steps(
-        model, optimizer, cfg.criterion_type, rng_streams, mutable_stats=has_bn
+        model, optimizer, cfg.criterion_type, rng_streams, mutable_stats=has_bn,
+        grad_accum=getattr(cfg, "grad_accum", 1),
     )
 
     if cfg.mode in ("train", "load"):
@@ -164,6 +168,7 @@ def main():
     if args.batch_size is not None:
         cfg.batch_size = args.batch_size
     cfg.ckpt_backend = args.ckpt_backend
+    cfg.grad_accum = args.grad_accum
     if args.attn_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, attn_dtype=args.attn_dtype)
     if args.compute_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE", "WGATE", "GATE", "Transformer"):

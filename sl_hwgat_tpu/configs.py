@@ -141,6 +141,7 @@ class RunConfig:
     input_root: str = "input"
     output_root: str = "output"
     ckpt_backend: str = "pickle"   # 'pickle' (single file) | 'orbax' (async)
+    grad_accum: int = 1            # microbatches per optimizer update
 
     # overridden in tests / small runs
     overrides: dict = field(default_factory=dict)

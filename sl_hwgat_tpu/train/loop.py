@@ -21,9 +21,19 @@ from sl_hwgat_tpu.train.state import TrainState, cosine_annealing_lr, make_optim
 
 def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
                rng_streams: tuple = ("dropout",), mutable_stats: bool = False,
-               donate: bool = True):
-    """Build (train_step, eval_step) jitted closures for ``model``."""
+               donate: bool = True, grad_accum: int = 1):
+    """Build (train_step, eval_step) jitted closures for ``model``.
+
+    ``grad_accum > 1``: the batch is split into that many microbatches and
+    gradients accumulate through a ``lax.scan`` before ONE optimizer update —
+    large effective batches at microbatch activation-memory cost (the
+    TPU-native answer to HBM ceilings; each microbatch draws its own RNGs).
+    """
     criterion = CRITERIA[criterion_type]
+    if grad_accum > 1 and mutable_stats:
+        raise NotImplementedError(
+            "grad_accum with batch-stats models (STGCN/DecoupledGCN) is not "
+            "supported: microbatch BN updates would need chaining")
 
     def split_rngs(key, epoch, step):
         key = jax.random.fold_in(jax.random.fold_in(key, epoch), step)
@@ -34,8 +44,7 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
         per = jax.vmap(lambda lg, lb: criterion(lg[None], lb[None]))(logits, labels)
         return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
-    def train_step(variables, opt_state, x, y, valid, key, epoch, step):
-        rngs = split_rngs(key, epoch, step)
+    def grads_and_metrics(variables, x, y, valid, rngs):
         aux_cols = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(params):
@@ -49,11 +58,46 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
         (loss, (logits, new_cols)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             variables["params"]
         )
+        correct = (jnp.argmax(logits, -1) == y).astype(jnp.float32) * valid
+        return grads, new_cols, loss, jnp.sum(correct), jnp.sum(valid)
+
+    def train_step(variables, opt_state, x, y, valid, key, epoch, step):
+        rngs = split_rngs(key, epoch, step)
+        if grad_accum > 1:
+            b = x.shape[0]
+            if b % grad_accum:
+                raise ValueError(f"batch {b} not divisible by grad_accum {grad_accum}")
+            m = b // grad_accum
+            xs = x.reshape(grad_accum, m, *x.shape[1:])
+            ys = y.reshape(grad_accum, m)
+            vs = valid.reshape(grad_accum, m)
+
+            def micro(carry, inp):
+                g_acc, loss_acc, corr_acc, seen_acc = carry
+                xm, ym, vm, i = inp
+                rngs_m = {name: jax.random.fold_in(k, i) for name, k in rngs.items()}
+                g, _, loss, corr, seen = grads_and_metrics(variables, xm, ym, vm, rngs_m)
+                return (
+                    jax.tree.map(jnp.add, g_acc, g),
+                    loss_acc + loss, corr_acc + corr, seen_acc + seen,
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, variables["params"])
+            (g_sum, loss_sum, correct, seen), _ = jax.lax.scan(
+                micro, (zeros, 0.0, 0.0, 0.0),
+                (xs, ys, vs, jnp.arange(grad_accum)),
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+            loss = loss_sum / grad_accum
+            new_cols = {}
+        else:
+            grads, new_cols, loss, correct, seen = grads_and_metrics(
+                variables, x, y, valid, rngs
+            )
         updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
         params = jax.tree.map(lambda p, u: p + u, variables["params"], updates)
         new_vars = {**variables, "params": params, **new_cols}
-        correct = (jnp.argmax(logits, -1) == y).astype(jnp.float32) * valid
-        return new_vars, opt_state, loss, jnp.sum(correct), jnp.sum(valid)
+        return new_vars, opt_state, loss, correct, seen
 
     def eval_step(variables, x, y, valid, k):
         logits = model.apply(variables, x, train=False)
