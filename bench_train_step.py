@@ -29,6 +29,8 @@ def main():
     overrides = {} if dtype == "f32" else {"compute_dtype": "bfloat16"}
     if os.environ.get("SL_HWGAT_ATTN_IMPL"):
         overrides["attn_impl"] = os.environ["SL_HWGAT_ATTN_IMPL"]
+    if os.environ.get("SL_HWGAT_REMAT") == "1":
+        overrides["remat"] = True
     ds = {"src_len": 192, "num_class": 2002}  # FDMSE-ISL (constants.py)
     model = build_model("HWGATE", ds, 2, **overrides)
 

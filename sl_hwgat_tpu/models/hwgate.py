@@ -293,6 +293,10 @@ class HWGATE(nn.Module):
     # attention kernel in bf16 with f32 params/LN/softmax/head (the residual
     # stream and loss stay f32) — ~2x MXU peak on TPU.
     compute_dtype: str = "float32"
+    # rematerialize each block's activations in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(depth) less
+    # activation HBM — lifts the per-chip batch ceiling (b64 OOMs without it)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -309,10 +313,14 @@ class HWGATE(nn.Module):
                 self.embed_dim, self.temporal_dim, self.drop_rate, name="pos_encoder"
             )(x, train=train)
 
+        # static_argnums indexes flax's lifted call args (0=scope, 1=x,
+        # 2=train); train must be static for the python control flow inside
+        block_cls = (nn.remat(PartAttentionBlock, static_argnums=(2,))
+                     if self.remat else PartAttentionBlock)
         for i in range(num_layers):
             dim = int(self.embed_dim * 2**i)
             for j in range(self.depths[i]):
-                x = PartAttentionBlock(
+                x = block_cls(
                     dim=dim,
                     num_heads=self.num_heads[i],
                     window_size=self.window_size,
@@ -327,7 +335,7 @@ class HWGATE(nn.Module):
                     attn_dtype=self.attn_dtype,
                     compute_dtype=self.compute_dtype,
                     name=f"layers_{i}_blocks_{j}",
-                )(x, train=train)
+                )(x, train)
             if i < num_layers - 1:
                 x = temporal_merge(x, self.temporal_patch)
 

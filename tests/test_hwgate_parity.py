@@ -142,3 +142,27 @@ def test_full_model_hybrid_impl_matches_stacked():
     a = stacked.apply(variables, x, train=False)
     b = hybrid.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint'd blocks: identical forward and gradients."""
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 16, 64, 2)), jnp.float32)
+    plain = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5, drop_rate=0.0,
+                   prune_attn=False)
+    remat = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5, drop_rate=0.0,
+                   prune_attn=False, remat=True)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(model):
+        def f(params):
+            out = model.apply({**variables, "params": params}, x, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(out * out)
+        return f
+
+    v1, g1 = jax.value_and_grad(loss(plain))(variables["params"])
+    v2, g2 = jax.value_and_grad(loss(remat))(variables["params"])
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))), g1, g2)
+    assert max(jax.tree.leaves(diffs)) < 1e-5, diffs
