@@ -44,6 +44,9 @@ def parser():
                    help="mixed precision: bfloat16 runs every projection/FFN "
                         "matmul and the attention kernel in bf16 (params, "
                         "layernorm, softmax, head and loss stay f32)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize attention blocks in backward "
+                        "(less activation HBM, ~1 extra forward of FLOPs)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient-accumulation microbatches per optimizer "
                         "update (large effective batch at microbatch memory)")
@@ -175,6 +178,8 @@ def main():
         cfg.overrides = dict(cfg.overrides, compute_dtype=args.compute_dtype)
     if args.attn_impl != "auto" and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)
+    if args.remat and cfg.model_type in ("HWGATE", "HGATE"):
+        cfg.overrides = dict(cfg.overrides, remat=True)
     print(cfg.dataset)
     print("Model Name:-", cfg.save_model_path)
     print("Running Mode:-", cfg.mode)

@@ -105,6 +105,7 @@ class HGATE(nn.Module):
     attn_impl: str = "auto"
     attn_dtype: str = "float32"
     compute_dtype: str = "float32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -117,10 +118,12 @@ class HGATE(nn.Module):
             x = PositionalEncoding(
                 self.embed_dim, self.temporal_dim, self.drop_rate, name="pos_encoder"
             )(x, train=train)
+        block_cls = (nn.remat(GraphAttentionBlock, static_argnums=(2,))
+                     if self.remat else GraphAttentionBlock)
         for i in range(num_layers):
             dim = int(self.embed_dim * 2**i)
             for j in range(self.depths[i]):
-                x = GraphAttentionBlock(
+                x = block_cls(
                     dim=dim,
                     num_heads=self.num_heads[i],
                     num_kps=self.num_kps,
@@ -134,7 +137,7 @@ class HGATE(nn.Module):
                     attn_dtype=self.attn_dtype,
                     compute_dtype=self.compute_dtype,
                     name=f"layers_{i}_blocks_{j}",
-                )(x, train=train)
+                )(x, train)
             if i < num_layers - 1:
                 x = temporal_merge(x, self.temporal_patch)
         x = layer_norm("norm")(x)
