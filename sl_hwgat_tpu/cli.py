@@ -95,7 +95,7 @@ def run(cfg, progress=True):
 
     train_step, eval_step = make_steps(
         model, optimizer, cfg.criterion_type, rng_streams, mutable_stats=has_bn,
-        grad_accum=getattr(cfg, "grad_accum", 1),
+        grad_accum=getattr(cfg, "grad_accum", 1) if cfg.mode in ("train", "load") else 1,
     )
 
     if cfg.mode in ("train", "load"):

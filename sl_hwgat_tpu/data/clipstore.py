@@ -28,8 +28,8 @@ import sys
 import numpy as np
 
 MAGIC = b"SLCS"
-VERSION = 1
-_HEADER = 16
+VERSION = 2
+_HEADER = 32  # magic, version u32, n u64, store uuid (16 bytes)
 _INDEX_ENTRY = 16  # offset u64, T u32, (V<<16|C) u32
 
 _NATIVE_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -49,10 +49,15 @@ def _native_lib():
     try:
         if (not os.path.exists(so_path)
                 or os.path.getmtime(so_path) < os.path.getmtime(_NATIVE_SRC)):
+            # build to a process-unique temp then atomically replace so
+            # concurrent builders (multi-host launch, parallel tests) never
+            # load or persist a half-written .so
+            tmp_so = f"{so_path}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, _NATIVE_SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp_so, _NATIVE_SRC],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp_so, so_path)
         lib = ctypes.CDLL(so_path)
         lib.cs_open.restype = ctypes.c_void_p
         lib.cs_open.argtypes = [ctypes.c_char_p]
@@ -72,9 +77,16 @@ def _native_lib():
 
 
 def write_clipstore(path: str, mapping: dict) -> None:
-    """Write ``{id: (T, V, C) float32 ndarray}`` as a clip store + id sidecar."""
+    """Write ``{id: (T, V, C) float32 ndarray}`` as a clip store + id sidecar.
+
+    A random store uuid is embedded in BOTH files and checked at open, so a
+    crash between the two atomic replaces can never silently pair a new
+    store with a stale id->row table (it fails loudly instead)."""
+    import uuid as uuid_mod
+
     ids = list(mapping.keys())
     n = len(ids)
+    store_uuid = uuid_mod.uuid4().bytes
     offset = _HEADER + n * _INDEX_ENTRY
     index = bytearray()
     payloads = []
@@ -90,13 +102,16 @@ def write_clipstore(path: str, mapping: dict) -> None:
         offset += arr.nbytes
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(MAGIC + struct.pack("<IQ", VERSION, n))
+        f.write(MAGIC + struct.pack("<IQ", VERSION, n) + store_uuid)
         f.write(bytes(index))
         for arr in payloads:
             f.write(arr.tobytes())
+    tmp_ids = path + ".ids.tmp"
+    with open(tmp_ids, "wb") as f:
+        pickle.dump({"rows": {vid: row for row, vid in enumerate(ids)},
+                     "uuid": store_uuid}, f)
     os.replace(tmp, path)
-    with open(path + ".ids", "wb") as f:
-        pickle.dump({vid: row for row, vid in enumerate(ids)}, f)
+    os.replace(tmp_ids, path + ".ids")
 
 
 class ClipStore:
@@ -105,7 +120,22 @@ class ClipStore:
     def __init__(self, path: str, force_numpy: bool = False):
         self.path = path
         with open(path + ".ids", "rb") as f:
-            self._rows = pickle.load(f)
+            sidecar = pickle.load(f)
+        self._rows = sidecar["rows"]
+        # the store/sidecar pair must come from the same write (see writer)
+        with open(path, "rb") as f:
+            header = f.read(_HEADER)
+        if len(header) < _HEADER or header[:4] != MAGIC:
+            raise ValueError(f"{path}: not a clip store")
+        version, n = struct.unpack("<IQ", header[4:16])
+        if version != VERSION:
+            raise ValueError(f"{path}: unsupported version {version}")
+        if header[16:32] != sidecar["uuid"]:
+            raise ValueError(
+                f"{path}: id sidecar does not match the store (uuid mismatch "
+                "— interrupted rewrite?); regenerate with write_clipstore")
+        if n != len(self._rows):
+            raise ValueError(f"{path}: record count {n} != sidecar {len(self._rows)}")
         self._lib = None if force_numpy else _native_lib()
         if self._lib is not None:
             self._handle = self._lib.cs_open(path.encode())
@@ -113,11 +143,6 @@ class ClipStore:
                 self._lib = None
         if self._lib is None:
             self._mm = np.memmap(path, dtype=np.uint8, mode="r")
-            if bytes(self._mm[:4]) != MAGIC:
-                raise ValueError(f"{path}: not a clip store")
-            (version, n) = struct.unpack("<IQ", self._mm[4:16].tobytes())
-            if version != VERSION:
-                raise ValueError(f"{path}: unsupported version {version}")
             raw = self._mm[_HEADER:_HEADER + n * _INDEX_ENTRY].tobytes()
             self._index = [struct.unpack("<QII", raw[i * 16:(i + 1) * 16])
                            for i in range(n)]

@@ -54,7 +54,10 @@ class KeypointDataset:
 
     def get(self, index: int, epoch: int = 0):
         vid = self.ids[index]
-        feat = load_entry(self.data_map[vid]).copy()
+        raw = self.data_map[vid]
+        feat = load_entry(raw)
+        if feat is raw:  # in-memory dict entry: transforms mutate, so copy;
+            feat = feat.copy()  # pkl/mp4/clipstore reads are already fresh
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch, index]))
         feat = self.transform(feat, rng) if self.transform is not None else feat
         return feat.astype(np.float32), np.int32(self.label_map[vid])

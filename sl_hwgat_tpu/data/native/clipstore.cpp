@@ -8,11 +8,15 @@
 // zero-syscall after open (page cache shared across processes), O(1) per
 // clip, and copied straight into caller-provided buffers.
 //
-// File layout (little-endian):
+// File layout (little-endian), version 2:
 //   [0:4)              magic "SLCS"
-//   [4:8)              version u32 (=1)
+//   [4:8)              version u32 (=2)
 //   [8:16)             n u64 (record count)
-//   [16 : 16+16n)      per-record index: offset u64 (absolute, bytes),
+//   [16:32)            store uuid (16 raw bytes) — the Python reader checks
+//                      it against the .ids sidecar so a crash between the
+//                      two writes can never silently pair a new store with
+//                      a stale id->row table
+//   [32 : 32+16n)      per-record index: offset u64 (absolute, bytes),
 //                                        T u32, VC u32 (V<<16 | C)
 //   [data...]          float32 payloads
 //
@@ -53,7 +57,7 @@ void* cs_open(const char* path) {
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return nullptr;
   struct stat st;
-  if (fstat(fd, &st) != 0 || st.st_size < 16) {
+  if (fstat(fd, &st) != 0 || st.st_size < 32) {
     ::close(fd);
     return nullptr;
   }
@@ -67,15 +71,22 @@ void* cs_open(const char* path) {
   }
   uint32_t version;
   memcpy(&version, b + 4, 4);
-  if (version != 1) {
+  if (version != 2) {
+    munmap(base, st.st_size);
+    return nullptr;
+  }
+  uint64_t n;
+  memcpy(&n, b + 8, 8);
+  // a truncated/corrupt store must fail cleanly, not SIGSEGV on index reads
+  if (32 + n * sizeof(Index) > static_cast<uint64_t>(st.st_size)) {
     munmap(base, st.st_size);
     return nullptr;
   }
   Store* s = new Store;
   s->base = base;
   s->size = st.st_size;
-  memcpy(&s->n, b + 8, 8);
-  s->index = reinterpret_cast<const Index*>(b + 16);
+  s->n = n;
+  s->index = reinterpret_cast<const Index*>(b + 32);
   return s;
 }
 
@@ -110,18 +121,6 @@ int cs_read(void* handle, int64_t row, float* dst) {
   size_t bytes = count * sizeof(float);
   if (ix.offset + bytes > s->size) return -2;
   memcpy(dst, static_cast<const unsigned char*>(s->base) + ix.offset, bytes);
-  return 0;
-}
-
-// Batch assembler: reads k records into one contiguous dst buffer whose
-// per-record strides are the caller's (records must share a shape or the
-// caller sizes dst by the max and passes per-record strides).
-int cs_read_many(void* handle, const int64_t* rows, int64_t k,
-                 float* dst, const int64_t* dst_offsets) {
-  for (int64_t i = 0; i < k; ++i) {
-    int rc = cs_read(handle, rows[i], dst + dst_offsets[i]);
-    if (rc != 0) return rc;
-  }
   return 0;
 }
 

@@ -61,7 +61,11 @@ def preprocess(meta_csv: str, dataset_name: str, keypoint_dir: str,
         pickle.dump(vid_splits, f)
     with open(cfg.vid_class_path, "wb") as f:
         pickle.dump(vid_class, f)
-    if store == "clipstore" and feature_type == "keypoints":
+    if store == "clipstore" and feature_type != "keypoints":
+        raise ValueError(
+            "store='clipstore' requires feature_type='keypoints' (rgb data "
+            "maps hold video paths, not arrays)")
+    if store == "clipstore":
         # production store: mmap-backed float records (data/clipstore.py);
         # the data_map pickle becomes a marker the loader resolves
         from sl_hwgat_tpu.data.clipstore import write_clipstore

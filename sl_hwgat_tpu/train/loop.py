@@ -44,7 +44,11 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
         per = jax.vmap(lambda lg, lb: criterion(lg[None], lb[None]))(logits, labels)
         return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
-    def grads_and_metrics(variables, x, y, valid, rngs):
+    def sum_loss(logits, labels, valid):
+        per = jax.vmap(lambda lg, lb: criterion(lg[None], lb[None]))(logits, labels)
+        return jnp.sum(per * valid)
+
+    def grads_and_metrics(variables, x, y, valid, rngs, normalize=True):
         aux_cols = {k: v for k, v in variables.items() if k != "params"}
 
         def loss_fn(params):
@@ -53,7 +57,9 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
                 mutable=["batch_stats"] if mutable_stats else False,
             )
             logits, new_cols = out if mutable_stats else (out, {})
-            return weighted_loss(logits, y, valid), (logits, new_cols)
+            loss = (weighted_loss(logits, y, valid) if normalize
+                    else sum_loss(logits, y, valid))
+            return loss, (logits, new_cols)
 
         (loss, (logits, new_cols)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             variables["params"]
@@ -72,11 +78,16 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
             ys = y.reshape(grad_accum, m)
             vs = valid.reshape(grad_accum, m)
 
+            # Accumulate UNNORMALIZED (valid-weighted sum) losses/grads and
+            # divide once by the GLOBAL valid count — exactly the full-batch
+            # weighted loss even when padding leaves microbatches partially
+            # (or fully) invalid.
             def micro(carry, inp):
                 g_acc, loss_acc, corr_acc, seen_acc = carry
                 xm, ym, vm, i = inp
                 rngs_m = {name: jax.random.fold_in(k, i) for name, k in rngs.items()}
-                g, _, loss, corr, seen = grads_and_metrics(variables, xm, ym, vm, rngs_m)
+                g, _, loss, corr, seen = grads_and_metrics(
+                    variables, xm, ym, vm, rngs_m, normalize=False)
                 return (
                     jax.tree.map(jnp.add, g_acc, g),
                     loss_acc + loss, corr_acc + corr, seen_acc + seen,
@@ -87,8 +98,9 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
                 micro, (zeros, 0.0, 0.0, 0.0),
                 (xs, ys, vs, jnp.arange(grad_accum)),
             )
-            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
-            loss = loss_sum / grad_accum
+            denom = jnp.maximum(seen, 1.0)
+            grads = jax.tree.map(lambda g: g / denom, g_sum)
+            loss = loss_sum / denom
             new_cols = {}
         else:
             grads, new_cols, loss, correct, seen = grads_and_metrics(

@@ -196,3 +196,44 @@ def test_grad_accum_matches_full_batch():
         v1["params"], v2["params"],
     )
     assert max(jax.tree.leaves(diffs)) < 1e-4, diffs
+
+
+def test_grad_accum_matches_full_batch_with_padding():
+    """Padded batches (valid=0 tail): accumulation must normalize by the
+    GLOBAL valid count, matching the full-batch weighted loss exactly even
+    when some microbatches are partially or fully padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from sl_hwgat_tpu.models.hwgate import HWGATE
+    from sl_hwgat_tpu.train.loop import init_state, make_steps
+
+    model = HWGATE(kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
+                   depths=(1, 1), num_heads=(2, 2), drop_rate=0.0,
+                   prune_attn=False)
+
+    class Cfg:
+        seed = 0
+        optimizer_type = "adamw"
+        lr = 1e-3
+
+    state, opt = init_state(model, Cfg, (16, 64, 2), ("dropout",))
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.normal(size=(8, 16, 64, 2)).astype(np.float32))
+    y = jnp.asarray(r.integers(0, 6, size=(8,)).astype(np.int32))
+    # only 3 valid samples: microbatch 1 has 1 valid, microbatches 2-3 all pad
+    valid = jnp.asarray([1, 1, 1, 0, 0, 0, 0, 0], jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    full, _ = make_steps(model, opt, rng_streams=("dropout",), donate=False)
+    accum, _ = make_steps(model, opt, rng_streams=("dropout",), donate=False,
+                          grad_accum=4)
+    v1, o1, loss1, c1, n1 = full(state.variables, state.opt_state, x, y, valid, key, 0, 0)
+    v2, o2, loss2, c2, n2 = accum(state.variables, state.opt_state, x, y, valid, key, 0, 0)
+    np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+    np.testing.assert_allclose(float(n1), float(n2))
+    diffs = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        v1["params"], v2["params"],
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4, diffs

@@ -114,8 +114,9 @@ def test_sharded_steps_with_fused_pallas_kernel(setup):
 
 
 def test_sharded_steps_with_hybrid_impl(setup):
-    """attn_impl='hybrid' under the GSPMD-sharded step (the TPU auto policy
-    uses hybrid for training) must match the stacked single-device step."""
+    """attn_impl='hybrid' under the GSPMD-sharded step (selectable via
+    --attn-impl; auto uses the fully-fused kernel) must match the stacked
+    single-device step."""
     model, optimizer, state, x, y, valid = setup
     hybrid_model = HWGATE(
         kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
