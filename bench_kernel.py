@@ -21,6 +21,11 @@ def main():
     units = int(sys.argv[2]) if len(sys.argv) > 2 else 12288
 
     import jax
+
+    if os.environ.get("BENCH_CPU") == "1":
+        # syntax/numerics validation without touching the TPU relay (the axon
+        # sitecustomize pins jax_platforms, so the env var alone is ignored)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -60,11 +65,13 @@ def main():
         kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
         body = lambda q: pallas_window_attention(
             q.astype(jnp.bfloat16), kb, vb, adj, scale=0.125, stack=4)
-    elif impl in ("matmul_only", "matmul_k128"):
+    elif impl in ("matmul_only", "matmul_k128", "matmul_only_bf16"):
         # upper bound: the two supertile matmuls without masking/softmax.
         # matmul_k128 pads the contraction dim 64→128 with zeros: if the time
         # is unchanged, the MXU is latency/op-bound at K=64 (FLOPs are free)
         # and the lever is op count, not FLOP reduction.
+        # matmul_only_bf16: same schedule in bf16 — the fused bf16 kernel's
+        # MXU floor (fused-minus-this = VPU masking/softmax cost in bf16).
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -74,14 +81,16 @@ def main():
         pad_k = impl == "matmul_k128"
         if pad_k:
             DH = 128
-        TG = 8
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "8"))
+        dt = jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
 
         def kern(q_ref, o_ref):
             for g in range(TG):
                 s = jax.lax.dot_general(q_ref[g], q_ref[g], (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-                o_ref[g] = jax.lax.dot_general(s, q_ref[g], (((1,), (0,)), ((), ())),
-                                               preferred_element_type=jnp.float32)
+                o_ref[g] = jax.lax.dot_general(
+                    s.astype(q_ref.dtype), q_ref[g], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
         tile = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
@@ -89,7 +98,8 @@ def main():
             return pl.pallas_call(
                 kern, grid=(T // TG,), in_specs=[tile], out_specs=tile,
                 out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.float32),
-            )(qq)
+                interpret=jax.default_backend() != "tpu",
+            )(qq.astype(dt))
 
         if pad_k:
             body = lambda qq: mm(jnp.pad(qq.reshape(T, SN, 64),
@@ -97,6 +107,39 @@ def main():
                 :, :, :64].reshape(units, n_tok, dh)
         else:
             body = lambda qq: mm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
+    elif impl == "softmax_only":
+        # the complement diagnostic: same streaming + the full masked-softmax
+        # VPU pass, but the two MXU dots replaced by one cheap concat. The
+        # fused kernel's time should be ≈ max-ish(matmul_only, this) if MXU
+        # and VPU overlap, or their sum if Mosaic serializes them.
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from sl_hwgat_tpu.ops.pallas_attention import (_masked_attn_matrix,
+                                                       _tile_masks)
+
+        T, SN, DH = units // 4, 128, 64
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "16"))
+        allowed_m, fill_m = _tile_masks(np.asarray(adj), 32, 32, 4)
+
+        def kern_sm(q_ref, al_ref, fl_ref, o_ref):
+            for g in range(TG):
+                s = jnp.concatenate([q_ref[g], q_ref[g]], axis=1)  # (SN, SN)
+                a, _ = _masked_attn_matrix(s, al_ref[:], fl_ref[:], None, True)
+                o_ref[g] = a[:, :DH]
+
+        tile = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        mask = pl.BlockSpec((SN, SN), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+        def sm(qq):
+            return pl.pallas_call(
+                kern_sm, grid=(T // TG,), in_specs=[tile, mask, mask],
+                out_specs=tile,
+                out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.float32),
+                interpret=jax.default_backend() != "tpu",
+            )(qq, jnp.asarray(allowed_m), jnp.asarray(fill_m))
+
+        body = lambda qq: sm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
     elif impl.startswith("calib_"):
         # Chip/shape calibration probes. Results feed bench.py's roofline:
         #  calib_big_{f32,bf16}: 2048^3 dense matmul -> overall MXU peak

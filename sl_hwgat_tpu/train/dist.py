@@ -145,21 +145,33 @@ def run_distributed(cfg, mesh_shape: tuple | None = None, progress=None):
 
         if val_loss < best_val_loss:  # identical on every host (global metric)
             best_val_loss = val_loss
-            # Replicating to host is a COLLECTIVE (tp-sharded leaves span
-            # processes), so every host participates; only process 0 writes.
-            from sl_hwgat_tpu.train.state import TrainState
-
-            host_state = TrainState(
-                variables=to_host(state.variables, "variables"),
-                opt_state=to_host(state.opt_state, "opt_state"),
-                epoch=state.epoch, base_lr=state.base_lr, history=state.history,
-            )
-            if pid == 0:
-                cfg.ensure_out_folder()
-                ckpt_lib.save_checkpoint(
-                    f"{cfg.save_model_path}_best_loss.ckpt", host_state, cfg.lr,
-                    backend=getattr(cfg, "ckpt_backend", "pickle"),
+            if getattr(cfg, "ckpt_backend", "pickle") == "orbax":
+                # Scalable path: Orbax writes each array shard from the
+                # process that addresses it — no full-state all-gather, so
+                # checkpoint cost stays O(1/n_hosts). Requires a shared
+                # filesystem (GCS/NFS on pods; tmpdir in localhost tests).
+                if pid == 0:
+                    cfg.ensure_out_folder()
+                ckpt_lib.save_checkpoint_sharded(
+                    f"{cfg.save_model_path}_best_loss.ckpt",
+                    state.variables, state.opt_state, state.epoch, cfg.lr,
+                    state.history,
                 )
+            else:
+                # Replicating to host is a COLLECTIVE (tp-sharded leaves span
+                # processes), so every host participates; only process 0 writes.
+                from sl_hwgat_tpu.train.state import TrainState
+
+                host_state = TrainState(
+                    variables=to_host(state.variables, "variables"),
+                    opt_state=to_host(state.opt_state, "opt_state"),
+                    epoch=state.epoch, base_lr=state.base_lr, history=state.history,
+                )
+                if pid == 0:
+                    cfg.ensure_out_folder()
+                    ckpt_lib.save_checkpoint(
+                        f"{cfg.save_model_path}_best_loss.ckpt", host_state, cfg.lr,
+                    )
         if progress is not None:
             progress(epoch, dict(train_loss=train_loss, train_acc=train_acc,
                                  val_loss=val_loss, val_acc=val_acc))
