@@ -37,7 +37,7 @@ CAL_SHAPE_TFLOPS = {"float32": 17.26e12, "bfloat16": 27.03e12}
 CAL_MEM_BW = 1.05e12
 
 UNITS = 12288  # HWGATE stage 0 at batch 16: 16·96 groups × 4 windows × 2 heads
-CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", "300"))
+CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", "480"))
 
 # (name, bench_kernel impl, env overlay, dtype, bytes/elem) — preference
 # order per the on-chip sweeps: fused bf16 tg16 is the production config

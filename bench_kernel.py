@@ -15,6 +15,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _enable_compile_cache(jax):
+    """Persistent compile cache: remote (relay) compiles dominate child wall
+    time (~2-5 min each, and the relay degrades within a session). With the
+    cache a re-measure of an already-compiled config costs seconds, which is
+    what makes the driver's end-of-round bench.py run robust late in a
+    session. Must go through jax.config.update: the axon sitecustomize
+    imports jax at interpreter startup, so env vars set at module scope here
+    are read too late."""
+    if os.environ.get("BENCH_NO_CACHE") == "1":
+        return
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
@@ -22,6 +38,7 @@ def main():
 
     import jax
 
+    _enable_compile_cache(jax)
     if os.environ.get("BENCH_CPU") == "1":
         # syntax/numerics validation without touching the TPU relay (the axon
         # sitecustomize pins jax_platforms, so the env var alone is ignored)
