@@ -82,6 +82,128 @@ def main():
         kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
         body = lambda q: pallas_window_attention(
             q.astype(jnp.bfloat16), kb, vb, adj, scale=0.125, stack=4)
+    elif impl.startswith("mm_"):
+        # Round-2 MXU scheduling probes (matmul-only, no masking/softmax):
+        #  mm_nt{,_bf16}: dot1 with a PRE-TRANSPOSED rhs (TG,DH,SN), standard
+        #    (((1,),(0,)),...) contraction — tests whether Mosaic pays a
+        #    per-tile transpose for the (((1,),(1,)),...) transposed-rhs form
+        #    the round-1 kernel uses.
+        #  mm_split{,_bf16}: all dot1s into a VMEM scratch, THEN all dot2s —
+        #    two runs of independent same-shape matmuls, testing whether
+        #    Mosaic pipelines back-to-back independent MXU ops better than
+        #    the dependent dot1->dot2 chain per tile.
+        #  mm_nt_split{,_bf16}: both changes combined.
+        #  mm_dot1{,_bf16} / mm_dot1_nt{,_bf16}: ONE dot per tile (transposed
+        #    vs standard form) — decomposes where the time goes.
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        T, SN, DH = units // 4, 128, 64
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "16"))
+        dt = jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
+        base = impl[3:].removesuffix("_bf16")
+
+        def dot_nn(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def dot_nt(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        nt = "nt" in base
+        split = "split" in base
+        dot1_only = base.startswith("dot1")
+        scratch = [pltpu.VMEM((TG, SN, SN), jnp.float32)] if split else []
+
+        def kern(q_ref, kt_ref, o_ref, *s_ref):
+            def dot1(g):
+                return (dot_nn(q_ref[g], kt_ref[g]) if nt
+                        else dot_nt(q_ref[g], q_ref[g]))
+
+            if dot1_only:
+                for g in range(TG):
+                    o_ref[g] = dot1(g)[:, :DH]
+            elif split:
+                for g in range(TG):
+                    s_ref[0][g] = dot1(g)
+                for g in range(TG):
+                    o_ref[g] = dot_nn(s_ref[0][g].astype(q_ref.dtype), q_ref[g])
+            else:
+                for g in range(TG):
+                    o_ref[g] = dot_nn(dot1(g).astype(q_ref.dtype), q_ref[g])
+
+        tile = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        tile_t = pl.BlockSpec((TG, DH, SN), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+        def mm(qq):
+            qt = jnp.swapaxes(qq, 1, 2)  # (T, DH, SN) — transposed by XLA once
+            return pl.pallas_call(
+                kern, grid=(T // TG,), in_specs=[tile, tile_t], out_specs=tile,
+                out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.float32),
+                scratch_shapes=scratch,
+                interpret=jax.default_backend() != "tpu",
+            )(qq.astype(dt), qt.astype(dt))
+
+        body = lambda qq: mm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
+    elif impl.startswith("floor_"):
+        # Batch-15 floor probes. batch-14 found 1 dot/tile == 2 dots/tile
+        # (1081 vs 1078µs) — compute is hidden; find the fixed cost.
+        #  floor_copy{,_bf16}: o[g] = convert(q[g]) — pure stream floor.
+        #  floor_dot1slim{,_bf16}: ONE dot per tile, single input stream.
+        #  floor_bigm{,_bf16}: ONE (TG·128, 64)@(64,128) GEMM per grid step
+        #    (shared rhs): does Mosaic reach XLA-like rates at large M?
+        #  floor_sn256{,_bf16}: supertile 256 — T halves, per-tile GEMMs are
+        #    (256,64)@(64,256) + (256,256)@(256,64): per-TILE overhead test.
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        dt = jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
+        base = impl[6:].removesuffix("_bf16")
+        SN = 256 if base == "sn256" else 128
+        DH = 64
+        T = units // (SN // 32)  # supertiles of SN rows over units·32 tokens
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "16" if SN == 128 else "8"))
+
+        def dot_nt(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def dot_nn(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        if base == "copy":
+            def kern(q_ref, o_ref):
+                for g in range(TG):
+                    o_ref[g] = q_ref[g].astype(jnp.float32)
+        elif base == "dot1slim":
+            def kern(q_ref, o_ref):
+                for g in range(TG):
+                    o_ref[g] = dot_nt(q_ref[g], q_ref[g])[:, :DH]
+        elif base == "bigm":
+            def kern(q_ref, o_ref):
+                qq = q_ref[:].reshape(TG * SN, DH)
+                s = dot_nt(qq, q_ref[0])  # (TG·SN, SN) shared rhs
+                o_ref[:] = s[:, :DH].reshape(TG, SN, DH)
+        elif base == "sn256":
+            def kern(q_ref, o_ref):
+                for g in range(TG):
+                    s = dot_nt(q_ref[g], q_ref[g])
+                    o_ref[g] = dot_nn(s.astype(q_ref.dtype), q_ref[g])
+        else:
+            raise SystemExit(f"unknown floor probe {impl}")
+
+        tile = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+        def mm(qq):
+            return pl.pallas_call(
+                kern, grid=(T // TG,), in_specs=[tile], out_specs=tile,
+                out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.float32),
+                interpret=jax.default_backend() != "tpu",
+            )(qq.astype(dt))
+
+        body = lambda qq: mm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
     elif impl in ("matmul_only", "matmul_k128", "matmul_only_bf16"):
         # upper bound: the two supertile matmuls without masking/softmax.
         # matmul_k128 pads the contraction dim 64→128 with zeros: if the time
@@ -157,6 +279,60 @@ def main():
             )(qq, jnp.asarray(allowed_m), jnp.asarray(fill_m))
 
         body = lambda qq: sm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
+    elif impl.startswith("banded_"):
+        # GATE-shape banded attention: jnp (XLA) vs fused Pallas kernel.
+        # Shapes: the FDMSE-ISL GATE config — B=16 clips, 8 heads, F=192
+        # frames, V=29 joints (padded 32 in the kernel), dh=16.
+        # edges per op = B·H·F·V·3V (the useful band, both impls equal).
+        from sl_hwgat_tpu.graphs.adjacency import additive_mask
+        from sl_hwgat_tpu.graphs.skeleton import BODY29_EDGES, edges_to_dense
+        from sl_hwgat_tpu.ops.attention import banded_frame_attention
+        from sl_hwgat_tpu.ops.pallas_banded import pallas_banded_frame_attention
+
+        B, H, F, V, DH = 16, 8, 192, 29, 16
+        eye = np.eye(V, dtype=np.float32)
+        spatial = edges_to_dense(BODY29_EDGES, V, self_loops=False)
+        band = np.stack([additive_mask(eye), additive_mask(spatial),
+                         additive_mask(eye)])
+        rb = np.random.default_rng(1)
+        qb, kb, vb = (
+            jnp.asarray(rb.normal(size=(B, H, F, V, DH)).astype(np.float32))
+            for _ in range(3)
+        )
+        dt = jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
+        kb, vb = kb.astype(dt), vb.astype(dt)
+        bandj = jnp.asarray(band)
+        nnz = B * H * F * V * 3 * V
+
+        if "pallas" in impl:
+            attn = lambda qq: pallas_banded_frame_attention(
+                qq.astype(dt), kb, vb, band, scale=0.25)
+        else:
+            attn = lambda qq: banded_frame_attention(
+                qq.astype(dt), kb, vb, bandj, scale=0.25)
+        if "bwd" in impl:
+            fb = lambda qq: jnp.sum(attn(qq) ** 2)
+            inner_body = lambda qq: jax.grad(fb)(qq).astype(jnp.float32)
+        else:
+            inner_body = lambda qq: attn(qq).astype(jnp.float32)
+
+        inner, outer = 20, 3
+
+        @jax.jit
+        def loopb(x):
+            return jax.lax.fori_loop(0, inner, lambda i, y: inner_body(y), x)
+
+        y = loopb(qb)
+        float(jnp.sum(y))
+        t0 = time.perf_counter()
+        for _ in range(outer):
+            y = loopb(y)
+        float(jnp.sum(y))
+        per_op = (time.perf_counter() - t0) / (outer * inner)
+        print(json.dumps({"impl": impl, "time_us": per_op * 1e6,
+                          "edges": nnz,
+                          "edges_per_sec": nnz / per_op}))
+        return
     elif impl.startswith("calib_"):
         # Chip/shape calibration probes. Results feed bench.py's roofline:
         #  calib_big_{f32,bf16}: 2048^3 dense matmul -> overall MXU peak

@@ -54,7 +54,15 @@ class BandedMSA(nn.Module):
         qkv = nn.Dense(3 * d, kernel_init=DENSE_INIT, dtype=cdt, name="qkv")(x)
         qkv = qkv.reshape(g, f, vtok, 3, h, dh).transpose(3, 0, 4, 1, 2, 5)  # (3,G,H,F,V,dh)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        out = banded_frame_attention(q, k, v, jnp.asarray(self.band, jnp.float32), scale=dh**-0.5)
+        band = jnp.asarray(self.band, jnp.float32)
+        # Under make_sharded_steps with an sp axis, route through the explicit
+        # edge-partitioned (halo-exchange) path (BASELINE config 5); falls
+        # back to the plain banded op (GSPMD-propagated) otherwise.
+        from sl_hwgat_tpu.parallel.edge_partition import call_sharded_banded
+
+        out = call_sharded_banded(q, k, v, band, scale=dh**-0.5)
+        if out is None:
+            out = banded_frame_attention(q, k, v, band, scale=dh**-0.5)
         out = out.transpose(0, 2, 3, 1, 4).reshape(g, n, d)  # (G,F,V,H,dh) → (G,N,D)
         out = out.astype(cdt)
         out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)

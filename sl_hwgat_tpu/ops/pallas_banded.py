@@ -1,0 +1,309 @@
+"""Fused banded (block-tridiagonal ELL) graph attention as a Pallas TPU kernel.
+
+The banded models (GATE/WGATE — reference `hwgat/models/GATE.py:56-66`,
+`WGATE.py:94-104`) attend each frame's V joints to the 3V keys of frames
+f−1/f/f+1 under additive adjacency masks. The jnp formulation
+(`ops/attention.py::banded_frame_attention`) materializes the (G,H,F,V,3V)
+score tensor in HBM; this kernel keeps scores in VMEM.
+
+Layout: V joints are padded to Vp (lane-friendly), FT = 128 // Vp consecutive
+frames form one 128-row *sub-tile*, and TG sub-tiles form one grid block.
+Each sub-tile's keys are its own rows plus one frame each side — reachable
+in-kernel because the k/v/q/do arrays are streamed THREE times with block
+index maps i−1 / i / i+1 (clamped), so neighbor sub-tiles are always resident.
+
+Masking is additive and f32-exact vs ``banded_frame_attention``: static
+(128,128) planes carry the band adjacency values {0, NEG} per (query,key)
+sub-tile pair; out-of-band pairs add NEG = −1e4, whose softmax contribution
+underflows to exactly 0 in f32 (same argument as the windowed kernel).
+
+The backward is a second fused kernel (flash-style): each grid step
+recomputes the score rows of its TG sub-tiles PLUS one query sub-tile from
+each neighbor block, and accumulates dK/dV for its own block entirely in
+VMEM — no atomics, no HBM score traffic. ``D = Σ(dO·O)`` is precomputed in
+XLA (one cheap fused elementwise reduce).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -10000.0
+ROWS = 128  # sub-tile rows (MXU-native)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_BAND_CACHE: dict[Any, np.ndarray] = {}
+
+
+def _cache_band(band: np.ndarray):
+    key = (band.shape, band.tobytes())
+    _BAND_CACHE.setdefault(key, np.asarray(band, dtype=np.float32))
+    return key
+
+
+def _planes(band_key, vp: int, ft: int) -> np.ndarray:
+    """(3, 128, 128) additive planes: query sub-tile vs [prev|self|next] key
+    sub-tile. Row = fq·Vp + vq (fq ∈ [0,FT)), col likewise for the key tile.
+
+    band: (3, V, V) additive masks [prev | self | next] with entries
+    {0, NEG}. Padded joints (v ≥ V) carry NEG columns; padded query rows are
+    sliced off after the kernel.
+    """
+    band = _BAND_CACHE[band_key]
+    v = band.shape[1]
+    bp = np.full((3, vp, vp), np.float32(NEG))
+    bp[:, :v, :v] = band
+    planes = np.full((3, ft * vp, ft * vp), np.float32(NEG))
+    for fq in range(ft):
+        for fk in range(ft):
+            # key-frame offset relative to fq, for each plane position
+            for p, shift in ((0, -ft), (1, 0), (2, ft)):
+                df = (fk + shift) - fq
+                if df == -1:
+                    planes[p, fq * vp:(fq + 1) * vp, fk * vp:(fk + 1) * vp] = bp[0]
+                elif df == 0:
+                    planes[p, fq * vp:(fq + 1) * vp, fk * vp:(fk + 1) * vp] = bp[1]
+                elif df == 1:
+                    planes[p, fq * vp:(fq + 1) * vp, fk * vp:(fk + 1) * vp] = bp[2]
+    return planes
+
+
+def _row_mask(s_tile, planes_ref, first, last):
+    """Additive (128, 3·128) mask for one sub-tile row: NEG-out the prev/next
+    planes at the global sequence boundaries."""
+    neg = jnp.float32(NEG)
+    left = jnp.where(first, neg, planes_ref[0])
+    right = jnp.where(last, neg, planes_ref[2])
+    return jnp.concatenate([left, planes_ref[1], right], axis=1)
+
+
+def _sub(ref_l, ref_m, ref_r, g, tg):
+    """Sub-tile g of the mid block, with g ∈ [-2, TG+1] reaching into the
+    streamed neighbor blocks."""
+    if g < 0:
+        return ref_l[0, tg + g]
+    if g >= tg:
+        return ref_r[0, g - tg]
+    return ref_m[0, g]
+
+
+def _kcat(ref_l, ref_m, ref_r, g, tg):
+    return jnp.concatenate(
+        [_sub(ref_l, ref_m, ref_r, gg, tg) for gg in (g - 1, g, g + 1)], axis=0)
+
+
+def _softmax_rows(s):
+    a = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    return a / jnp.sum(a, axis=-1, keepdims=True)
+
+
+def _dot_nt(a, b):
+    """a (M,K) · bᵀ where b is (N,K)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nn(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """aᵀ (K,M)·... — contract leading dims: a (K,M), b (K,N) → (M,N)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(q_ref, kl_ref, km_ref, kr_ref, vl_ref, vm_ref, vr_ref,
+                planes_ref, o_ref, *, scale, tg, n_tiles):
+    base = pl.program_id(1) * tg
+    for g in range(tg):
+        s_glob = base + g
+        q = q_ref[0, g]
+        kcat = _kcat(kl_ref, km_ref, kr_ref, g, tg)
+        vcat = _kcat(vl_ref, vm_ref, vr_ref, g, tg)
+        s = _dot_nt(q * jnp.asarray(scale, q.dtype), kcat)
+        s = s + _row_mask(s, planes_ref, s_glob == 0, s_glob == n_tiles - 1)
+        p = _softmax_rows(s)
+        o_ref[0, g] = _dot_nn(p.astype(vcat.dtype), vcat)
+
+
+def _bwd_kernel(q_l, q_m, q_r, k_l, k_m, k_r, v_l, v_m, v_r,
+                do_l, do_m, do_r, d_l, d_m, d_r, planes_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, tg, n_tiles):
+    """Per block: dQ for its TG sub-tiles; dK/dV accumulated in VMEM from the
+    ds rows of query sub-tiles −1..TG (one beyond each edge)."""
+    base = pl.program_id(1) * tg
+    sc = jnp.float32(scale)
+    zeros = jnp.zeros((ROWS, q_m.shape[-1]), jnp.float32)
+    dk_acc = [zeros] * tg
+    dv_acc = [zeros] * tg
+
+    for g in range(-1, tg + 1):
+        s_glob = base + g
+        in_range = (s_glob >= 0) & (s_glob <= n_tiles - 1)
+        q = _sub(q_l, q_m, q_r, g, tg)
+        do = _sub(do_l, do_m, do_r, g, tg)
+        dvec = _sub(d_l, d_m, d_r, g, tg)  # (ROWS, 1) rowsum(dO·O)
+        kcat = _kcat(k_l, k_m, k_r, g, tg)
+        vcat = _kcat(v_l, v_m, v_r, g, tg)
+        s = _dot_nt(q.astype(jnp.float32) * sc, kcat.astype(jnp.float32))
+        s = s + _row_mask(s, planes_ref, s_glob == 0, s_glob == n_tiles - 1)
+        p = _softmax_rows(s)
+        dp = _dot_nt(do.astype(jnp.float32), vcat.astype(jnp.float32))
+        ds = p * (dp - dvec)
+        ds = jnp.where(in_range, ds, 0.0)
+        if 0 <= g < tg:
+            dq_ref[0, g] = (_dot_nn(ds, kcat.astype(jnp.float32)) * sc).astype(dq_ref.dtype)
+        p0 = jnp.where(in_range, p, 0.0)
+        for j, gg in enumerate((g - 1, g, g + 1)):
+            if 0 <= gg < tg:
+                ds_blk = ds[:, j * ROWS:(j + 1) * ROWS]
+                p_blk = p0[:, j * ROWS:(j + 1) * ROWS]
+                dk_acc[gg] = dk_acc[gg] + _dot_tn(ds_blk, q.astype(jnp.float32)) * sc
+                dv_acc[gg] = dv_acc[gg] + _dot_tn(p_blk, do.astype(jnp.float32))
+    for g in range(tg):
+        dk_ref[0, g] = dk_acc[g].astype(dk_ref.dtype)
+        dv_ref[0, g] = dv_acc[g].astype(dv_ref.dtype)
+
+
+def _pack(x, vp):
+    """(G, H, F, V, dh) → (G·H, n_tiles, ROWS, dh) padded."""
+    g, h, f, v, dh = x.shape
+    if vp != v:
+        x = jnp.pad(x, [(0, 0)] * 3 + [(0, vp - v), (0, 0)])
+    ft = ROWS // vp
+    return x.reshape(g * h, f // ft, ROWS, dh)
+
+
+def _unpack(x, g, h, f, v, dh, vp):
+    ft = ROWS // vp
+    x = x.reshape(g, h, f // ft, ft, vp, dh)[:, :, :, :, :v]
+    return x.reshape(g, h, f, v, dh)
+
+
+def _specs(tg, dh, n_grid_t):
+    """(left, mid, right) block specs over a (GH, n_tiles, ROWS, dh) array.
+    Neighbor indices clamp at the edges; boundary masking makes the clamped
+    data irrelevant."""
+    shape = (1, tg, ROWS, dh)
+
+    def mk(off):
+        def imap(b, i):
+            j = i + off
+            j = jnp.clip(j, 0, n_grid_t - 1) if off else i
+            return (b, j, 0, 0)
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    return mk(-1), mk(0), mk(1)
+
+
+def _pick_tg(n_tiles: int, preferred: int = 8) -> int:
+    tg = max(1, min(preferred, n_tiles))
+    while n_tiles % tg:
+        tg -= 1
+    return tg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _banded(q, k, v, band_key, scale, vp):
+    out, _ = _banded_fwd(q, k, v, band_key, scale, vp)
+    return out
+
+
+def _banded_fwd(q, k, v, band_key, scale, vp):
+    g, h, f, vtok, dh = q.shape
+    ft = ROWS // vp
+    qs, ks, vs = (_pack(x, vp) for x in (q, k, v))
+    gh, n_tiles = qs.shape[0], qs.shape[1]
+    tg = _pick_tg(n_tiles)
+    planes = jnp.asarray(_planes(band_key, vp, ft))
+    kl, km, kr = _specs(tg, dh, n_tiles // tg)
+    plane_spec = pl.BlockSpec((3, ROWS, ROWS), lambda b, i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, tg=tg, n_tiles=n_tiles),
+        grid=(gh, n_tiles // tg),
+        in_specs=[km, kl, km, kr, kl, km, kr, plane_spec],
+        out_specs=km,
+        out_shape=jax.ShapeDtypeStruct(qs.shape, jnp.float32),
+        interpret=_interpret(),
+    )(qs, ks, ks, ks, vs, vs, vs, planes)
+    return _unpack(out, g, h, f, vtok, dh, vp), (q, k, v)
+
+
+def _banded_bwd(band_key, scale, vp, res, grad):
+    q, k, v = res
+    g, h, f, vtok, dh = q.shape
+    ft = ROWS // vp
+    # D = rowsum(dO · O): recompute O via the fwd kernel (cheap relative to
+    # a second HBM round of the score tensor) — or fold from the residual.
+    out, _ = _banded_fwd(q, k, v, band_key, scale, vp)
+    d = jnp.sum(grad.astype(jnp.float32) * out, axis=-1, keepdims=True)  # (G,H,F,V,1)
+
+    qs, ks, vs = (_pack(x, vp) for x in (q, k, v))
+    gs = _pack(grad, vp)
+    # lane-pad D to the dh width so every stream shares one block shape
+    ds_rows = _pack(jnp.broadcast_to(d, d.shape[:-1] + (dh,)), vp)[..., :1]
+    gh, n_tiles = qs.shape[0], qs.shape[1]
+    tg = _pick_tg(n_tiles)
+    planes = jnp.asarray(_planes(band_key, vp, ft))
+    kl, km, kr = _specs(tg, dh, n_tiles // tg)
+    dl, dm, dr = _specs(tg, 1, n_tiles // tg)
+    plane_spec = pl.BlockSpec((3, ROWS, ROWS), lambda b, i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(qs.shape, q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, tg=tg, n_tiles=n_tiles),
+        grid=(gh, n_tiles // tg),
+        in_specs=[kl, km, kr, kl, km, kr, kl, km, kr, kl, km, kr,
+                  dl, dm, dr, plane_spec],
+        out_specs=(km, km, km),
+        out_shape=(shape, shape, shape),
+        interpret=_interpret(),
+    )(qs, qs, qs, ks, ks, ks, vs, vs, vs, gs, gs, gs,
+      ds_rows, ds_rows, ds_rows, planes)
+
+    def un(x):
+        return _unpack(x, g, h, f, vtok, dh, vp)
+
+    return un(dq), un(dk), un(dv)
+
+
+_banded.defvjp(_banded_fwd, _banded_bwd)
+
+
+def pallas_banded_frame_attention(q, k, v, band_mask, *, scale: float,
+                                  vp: int | None = None):
+    """Fused drop-in for ``banded_frame_attention`` (no-halo case).
+
+    q, k, v: (G, H, F, V, dh); ``band_mask``: static (3, V, V) additive masks
+    [prev | self | next] with entries {0, −1e4}. F·(128//Vp)⁻¹ must be an
+    integer (F is padded by the caller if needed). Differentiable via the
+    fused flash-style backward kernel.
+    """
+    band = np.asarray(band_mask, np.float32)
+    v_tok = q.shape[3]
+    if vp is None:
+        vp = ROWS
+        for cand in (16, 32, 64, 128):
+            if v_tok <= cand:
+                vp = cand
+                break
+    f = q.shape[2]
+    ft = ROWS // vp
+    if f % ft:
+        raise ValueError(f"frames ({f}) must be a multiple of {ft} (=128/{vp})")
+    key = _cache_band(band)
+    return _banded(q, k, v, key, float(scale), int(vp))

@@ -20,6 +20,8 @@ mesh (`tests/test_edge_partition.py`).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -32,11 +34,53 @@ except ImportError:  # pragma: no cover
 from sl_hwgat_tpu.ops.attention import banded_frame_attention
 
 
+_CTX: tuple | None = None
+
+
+@contextmanager
+def halo_banded_attention(mesh: Mesh, axis: str = "sp", batch_axis: str = "dp"):
+    """Within this context, WGATE/GATE's ``BandedMSA`` routes its attention
+    through ``sharded_banded_frame_attention`` (explicit ppermute halo
+    exchange over ``axis``) instead of relying on GSPMD propagation —
+    BASELINE config 5 as a real training mode (activated by
+    ``parallel/sharding.py::make_sharded_steps``)."""
+    global _CTX
+    prev = _CTX
+    _CTX = (mesh, axis, batch_axis)
+    try:
+        yield
+    finally:
+        _CTX = prev
+
+
+def call_sharded_banded(q, k, v, band_mask, *, scale: float):
+    """Route through the halo path if a context is active and the frame axis
+    divides evenly; return None when not applicable (caller falls back to the
+    unsharded op, which GSPMD still partitions over dp)."""
+    ctx = _CTX
+    if ctx is None:
+        return None
+    mesh, axis, batch_axis = ctx
+    if axis not in mesh.shape or mesh.shape[axis] <= 1:
+        return None
+    f = q.shape[2]
+    if f % mesh.shape[axis]:
+        return None
+    ba = batch_axis if (batch_axis in mesh.shape and mesh.shape[batch_axis] > 1
+                        and q.shape[0] % mesh.shape[batch_axis] == 0) else None
+    return sharded_banded_frame_attention(
+        q, k, v, band_mask, mesh=mesh, axis=axis, batch_axis=ba, scale=scale)
+
+
 def sharded_banded_frame_attention(q, k, v, band_mask, *, mesh: Mesh,
-                                   axis: str = "sp", scale: float):
+                                   axis: str = "sp",
+                                   batch_axis: str | None = None,
+                                   scale: float):
     """Frame-sharded banded attention with ±1-frame halo exchange.
 
     q, k, v: (G, H, F, V, dh) with F divisible by the ``axis`` mesh size.
+    ``batch_axis``: optional mesh axis the leading G axis is sharded over
+    (keeps dp sharding intact when called from inside a GSPMD train step).
     Returns the same result as the unsharded ``banded_frame_attention``.
     """
     n_shards = mesh.shape[axis]
@@ -60,9 +104,10 @@ def sharded_banded_frame_attention(q, k, v, band_mask, *, mesh: Mesh,
             edge_valid=(left_exists, right_exists),
         )
 
-    spec = P(None, None, axis, None, None)
+    spec = P(batch_axis, None, axis, None, None)
     return shard_map(
         local, mesh=mesh,
         in_specs=(spec, spec, spec, P(None, None, None)),
         out_specs=spec,
+        check_vma=False,
     )(q, k, v, band_mask)

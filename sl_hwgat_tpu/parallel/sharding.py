@@ -141,11 +141,15 @@ def make_sharded_steps(model, optimizer, mesh: Mesh, variables, opt_state,
     # resolves to 'pallas' (the TPU default), tracing routes attention through
     # parallel/kernel_sharding.call_sharded (per-shard fused kernels over
     # dp/sp) instead of a single un-partitionable pallas_call.
-    from sl_hwgat_tpu.parallel import kernel_sharding
+    from sl_hwgat_tpu.parallel import edge_partition, kernel_sharding
 
     def with_kernel_ctx(fn):
         def wrapped(*a, **k):
-            with kernel_sharding.sharded_window_attention(mesh):
+            # Banded models (WGATE/GATE) additionally route through the
+            # explicit halo-exchange path when the mesh has an sp axis
+            # (edge-partitioned training, BASELINE config 5).
+            with kernel_sharding.sharded_window_attention(mesh), \
+                    edge_partition.halo_banded_attention(mesh):
                 return fn(*a, **k)
         return wrapped
 

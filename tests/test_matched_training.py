@@ -1,0 +1,142 @@
+"""Matched-training head-to-head vs the reference torch stack.
+
+The strongest accuracy evidence obtainable without the real FDMSE-ISL data
+(VERDICT r1 item 2): train the reference torch HWGATE and our Flax HWGATE
+from IDENTICAL initial weights on an IDENTICAL synthetic dataset with the
+reference regime — AdamW(5e-4, torch-default wd 0.01), CosineAnnealingLR
+T_max=20 stepped per epoch, SmoothedCrossEntropyLoss(0.01), same batch
+order — and assert the per-epoch loss trajectories track and the final
+accuracies match.
+
+Determinism: the reference's train-time attention prune
+(`hwgat/models/HWGATE.py:93-100`) draws from the global torch RNG and cannot
+be seed-matched across frameworks, so the torch model runs in ``eval()`` mode
+(prune + dropout off; gradients still flow) and ours runs with
+``drop_rate=0, prune_attn=False`` — numerically the same computation, so any
+trajectory drift isolates optimizer/loss/schedule differences.
+
+≡ reference `hwgat/utils.py:93-142` (train/evaluate) and `:240-290` (epoch
+driver). Slow (~2-4 min CPU); opt in with RUN_SLOW=1.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import import_reference
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RUN_SLOW") != "1", reason="slow; set RUN_SLOW=1"
+)
+
+N_CLS, SRC_LEN, N_KP, KP_DIM = 5, 16, 64, 2
+N_SAMPLES, BATCH, EPOCHS, LR = 40, 4, 6, 5e-4
+
+
+def _synthetic_task(rng):
+    """Learnable task: class-specific keypoint mean offsets + noise."""
+    y = np.arange(N_SAMPLES) % N_CLS
+    proto = rng.normal(size=(N_CLS, 1, N_KP, KP_DIM)).astype(np.float32)
+    x = proto[y] + 0.3 * rng.normal(
+        size=(N_SAMPLES, SRC_LEN, N_KP, KP_DIM)).astype(np.float32)
+    return x, y.astype(np.int64)
+
+
+def _batch_schedule(rng):
+    """Fixed per-epoch batch order shared by both frameworks."""
+    return [rng.permutation(N_SAMPLES).reshape(-1, BATCH) for _ in range(EPOCHS)]
+
+
+def _train_torch(x, y, schedule):
+    import torch
+
+    params_mod = import_reference("models.model_params")
+    hw = import_reference("models.HWGATE")
+    losses_mod = import_reference("losses.SmoothCrossEntropy")
+
+    torch.manual_seed(0)
+    p = params_mod.HWGATEParams({"num_class": N_CLS, "src_len": SRC_LEN}, KP_DIM,
+                                device=None)
+    p.drop_rate = 0.0
+    model = hw.Model(*p.get_model_params())
+    model.eval()  # prune/dropout off; grads still flow (see module docstring)
+
+    init_sd = {k: v.detach().clone().numpy() for k, v in model.state_dict().items()}
+
+    opt = torch.optim.AdamW(model.parameters(), lr=LR)  # ≡ utils.py:74
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=20)
+    crit = losses_mod.SmoothedCrossEntropyLoss()
+
+    xt, yt = torch.tensor(x), torch.tensor(y)
+    traj = []
+    for ep in range(EPOCHS):
+        total = 0.0
+        for idx in schedule[ep]:
+            out = model(xt[idx])
+            loss = crit(out, yt[idx])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            total += loss.item()
+        sched.step()
+        traj.append(total / len(schedule[ep]))
+    with torch.no_grad():
+        acc = float((model(xt).argmax(-1) == yt).float().mean())
+    return traj, acc, init_sd
+
+
+def _train_ours(x, y, schedule, init_state_dict):
+    import jax
+    import jax.numpy as jnp
+
+    from sl_hwgat_tpu.models.hwgate import HWGATE
+    from sl_hwgat_tpu.train.loop import make_steps
+    from sl_hwgat_tpu.train.state import (cosine_annealing_lr, make_optimizer,
+                                          set_lr)
+    from sl_hwgat_tpu.train.torch_import import hwgate_from_torch
+
+    model = HWGATE(kp_dim=KP_DIM, temporal_dim=SRC_LEN, num_classes=N_CLS,
+                   drop_rate=0.0, prune_attn=False)
+    variables = jax.tree.map(jnp.asarray, hwgate_from_torch(init_state_dict))
+    optimizer = make_optimizer("adamw", LR)
+    opt_state = optimizer.init(variables["params"])
+    tstep, _ = make_steps(model, optimizer, donate=False)
+
+    xj, yj = jnp.asarray(x), jnp.asarray(y.astype(np.int32))
+    key = jax.random.PRNGKey(0)
+    valid = jnp.ones((BATCH,), jnp.float32)
+    traj = []
+    for ep in range(EPOCHS):
+        opt_state = set_lr(opt_state, cosine_annealing_lr(ep, LR))
+        total = 0.0
+        for step, idx in enumerate(schedule[ep]):
+            variables, opt_state, loss, _, _ = tstep(
+                variables, opt_state, xj[idx], yj[idx], valid, key, ep, step)
+            total += float(loss)
+        traj.append(total / len(schedule[ep]))
+    logits = model.apply(variables, xj, train=False)
+    acc = float(np.mean(np.argmax(np.asarray(logits), -1) == y))
+    return traj, acc
+
+
+def test_matched_training_trajectories_track_reference():
+    rng = np.random.default_rng(7)
+    x, y = _synthetic_task(rng)
+    schedule = _batch_schedule(np.random.default_rng(11))
+
+    ref_traj, ref_acc, init_sd = _train_torch(x, y, schedule)
+    our_traj, our_acc = _train_ours(x, y, schedule, init_sd)
+
+    print(f"\nmatched-training: torch={ref_traj}\n          ours={our_traj}\n"
+          f"acc torch={ref_acc:.3f} ours={our_acc:.3f}")
+    # loss must go down for both (the task is learnable)
+    assert ref_traj[-1] < 0.9 * ref_traj[0]
+    assert our_traj[-1] < 0.9 * our_traj[0]
+    # trajectories track: measured agreement is ~1e-7 relative at every epoch
+    # (recorded in COVERAGE.md); the tolerances below leave headroom for
+    # platform-dependent f32 accumulation order only.
+    np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=1e-3)
+    np.testing.assert_allclose(our_traj, ref_traj, rtol=0.02)
+    # final train-set accuracy matches (measured: identical, 0.500 both)
+    assert abs(our_acc - ref_acc) <= 0.05, (our_acc, ref_acc)

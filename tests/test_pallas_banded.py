@@ -1,0 +1,94 @@
+"""Fused banded Pallas kernel ≡ the jnp banded op (forward and gradients),
+at GATE (V=29) and WGATE (V=16 windows) shapes. Runs in interpreter mode on
+CPU; the same code compiles via Mosaic on TPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sl_hwgat_tpu import graphs
+from sl_hwgat_tpu.graphs.skeleton import BODY29_EDGES, edges_to_dense
+from sl_hwgat_tpu.ops.attention import banded_frame_attention
+from sl_hwgat_tpu.ops.pallas_banded import pallas_banded_frame_attention
+
+
+def make_band(vtok, spatial):
+    eye = np.eye(vtok, dtype=np.float32)
+    return np.stack([
+        graphs.additive_mask(eye),
+        graphs.additive_mask(spatial),
+        graphs.additive_mask(eye),
+    ])
+
+
+CASES = {
+    # (V, band adjacency): GATE 29-joint whole-body graph; WGATE 16-kp window
+    "gate29": (29, lambda: edges_to_dense(BODY29_EDGES, 29, self_loops=False)),
+    "wgate16": (16, lambda: graphs.window_adj(window_size=16)),
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_forward_matches_jnp_banded(case):
+    vtok, adj_fn = CASES[case]
+    vp = 32 if vtok > 16 else 16
+    ft = 128 // vp
+    f = 4 * ft  # several sub-tiles
+    g, h, dh = 2, 2, 16
+    r = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(g, h, f, vtok, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    band = make_band(vtok, adj_fn())
+    want = banded_frame_attention(q, k, v, jnp.asarray(band), scale=0.25)
+    got = pallas_banded_frame_attention(q, k, v, band, scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_gradients_match_jnp_banded(case):
+    vtok, adj_fn = CASES[case]
+    vp = 32 if vtok > 16 else 16
+    ft = 128 // vp
+    f = 3 * ft
+    g, h, dh = 1, 2, 8
+    r = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(g, h, f, vtok, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    band = make_band(vtok, adj_fn())
+    bj = jnp.asarray(band)
+
+    def loss_ref(q, k, v):
+        o = banded_frame_attention(q, k, v, bj, scale=0.25)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_pl(q, k, v):
+        o = pallas_banded_frame_attention(q, k, v, band, scale=0.25)
+        return jnp.sum(jnp.sin(o))
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for name, w, g_ in zip("qkv", want, got):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w), atol=3e-5,
+                                   err_msg=name)
+
+
+def test_single_block_sequence():
+    """F small enough for one grid block (boundary tiles are also the only
+    tiles): both global-edge selects must fire within one block."""
+    vtok, vp = 29, 32
+    f = 8  # 2 sub-tiles at ft=4 → tg=2, one grid step
+    r = np.random.default_rng(2)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(1, 1, f, vtok, 4)).astype(np.float32))
+        for _ in range(3)
+    )
+    band = make_band(vtok, edges_to_dense(BODY29_EDGES, vtok, self_loops=False))
+    want = banded_frame_attention(q, k, v, jnp.asarray(band), scale=0.5)
+    got = pallas_banded_frame_attention(q, k, v, band, scale=0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
