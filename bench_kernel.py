@@ -82,6 +82,13 @@ def main():
         kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
         body = lambda q: pallas_window_attention(
             q.astype(jnp.bfloat16), kb, vb, adj, scale=0.125, stack=4)
+    elif impl == "pallas_obf16":
+        # conversion-free chain: bf16 in, bf16 out — the true fused-kernel
+        # time without the XLA astype pass the f32-out measurement carries.
+        kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+        q = q.astype(jnp.bfloat16)
+        body = lambda qq: pallas_window_attention(
+            qq, kb, vb, adj, scale=0.125, stack=4, out_dtype=jnp.bfloat16)
     elif impl.startswith("mm_"):
         # Round-2 MXU scheduling probes (matmul-only, no masking/softmax):
         #  mm_nt{,_bf16}: dot1 with a PRE-TRANSPOSED rhs (TG,DH,SN), standard
@@ -173,24 +180,34 @@ def main():
             return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
+        # "pure" probes chain dt→dt with NO conversion pass in the timing
+        # loop (batch-15 learning: the astype outside the kernel added an XLA
+        # elementwise pass — ~143µs at these sizes — to every measurement).
+        pure = "pure" in base
+        out_dt = dt if pure else jnp.float32
+        base = base.removeprefix("pure")
+
         if base == "copy":
             def kern(q_ref, o_ref):
                 for g in range(TG):
-                    o_ref[g] = q_ref[g].astype(jnp.float32)
+                    o_ref[g] = q_ref[g].astype(out_dt)
+        elif base == "slab":
+            def kern(q_ref, o_ref):
+                o_ref[:] = q_ref[:].astype(out_dt)  # one whole-block write
         elif base == "dot1slim":
             def kern(q_ref, o_ref):
                 for g in range(TG):
-                    o_ref[g] = dot_nt(q_ref[g], q_ref[g])[:, :DH]
+                    o_ref[g] = dot_nt(q_ref[g], q_ref[g])[:, :DH].astype(out_dt)
         elif base == "bigm":
             def kern(q_ref, o_ref):
                 qq = q_ref[:].reshape(TG * SN, DH)
                 s = dot_nt(qq, q_ref[0])  # (TG·SN, SN) shared rhs
-                o_ref[:] = s[:, :DH].reshape(TG, SN, DH)
+                o_ref[:] = s[:, :DH].reshape(TG, SN, DH).astype(out_dt)
         elif base == "sn256":
             def kern(q_ref, o_ref):
                 for g in range(TG):
                     s = dot_nt(q_ref[g], q_ref[g])
-                    o_ref[g] = dot_nn(s.astype(q_ref.dtype), q_ref[g])
+                    o_ref[g] = dot_nn(s.astype(q_ref.dtype), q_ref[g]).astype(out_dt)
         else:
             raise SystemExit(f"unknown floor probe {impl}")
 
@@ -199,11 +216,16 @@ def main():
         def mm(qq):
             return pl.pallas_call(
                 kern, grid=(T // TG,), in_specs=[tile], out_specs=tile,
-                out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((T, SN, DH), out_dt),
                 interpret=jax.default_backend() != "tpu",
-            )(qq.astype(dt))
+            )(qq)
 
-        body = lambda qq: mm(qq.reshape(T, SN, DH)).reshape(units, n_tok, dh)
+        if pure:
+            q = jnp.asarray(q.reshape(T, SN, DH)).astype(dt)
+            body = mm
+        else:
+            body = lambda qq: mm(qq.reshape(T, SN, DH).astype(dt)).reshape(
+                units, n_tok, dh)
     elif impl in ("matmul_only", "matmul_k128", "matmul_only_bf16"):
         # upper bound: the two supertile matmuls without masking/softmax.
         # matmul_k128 pads the contraction dim 64→128 with zeros: if the time

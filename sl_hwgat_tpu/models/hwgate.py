@@ -109,9 +109,43 @@ class WindowedMSA(nn.Module):
         cdt = jnp.dtype(self.compute_dtype)
         attn_bf16 = self.attn_dtype == "bfloat16" or cdt == jnp.bfloat16
 
+        impl = self.attn_impl
+        if impl == "auto":
+            import jax
+
+            # Measured policy (v5e, tools/kernel_batch*_results.jsonl): the
+            # fully-fused kernel wins both in isolation fwd (1191 vs 1782µs
+            # bf16) and in the FULL train step (170.7 vs 184.6ms at batch 16)
+            # — the hybrid's isolated fwd+bwd win (3194 vs 4199µs) does not
+            # survive in-graph, where its (T,SN,SN) score round-trips contend
+            # with the projection GEMMs' HBM traffic. Hybrid stays selectable
+            # via attn_impl='hybrid' / --attn-impl.
+            impl = "pallas" if jax.default_backend() == "tpu" else "stacked"
+
         qkv = nn.Dense(3 * d, kernel_init=DENSE_INIT, dtype=cdt, name="qkv")(x)
         qkv = qkv.reshape(g, n, 3, h, dh).transpose(2, 0, 3, 1, 4)  # (3, G, H, N, dh)
-        q, k, v = (t.reshape(g * h, n, dh) for t in (qkv[0], qkv[1], qkv[2]))
+
+        # Unit order. Default: (b, f, nW, h) head-minor (matches the split
+        # formulation). Under a kernel-sharding context with a tp axis, go
+        # HEAD-MAJOR (h, b, f, nW) so a contiguous unit split shards heads
+        # across tp instead of replicating attention compute — requires
+        # h % tp == 0 and (dual-mask mode) whole supertiles per temporal
+        # group at the finer head-major period.
+        from sl_hwgat_tpu.parallel import kernel_sharding
+
+        stack0, _ = _supertile_stack(n)
+        tp = kernel_sharding.tp_size()
+        head_major = (
+            impl in ("pallas", "hybrid")
+            and tp > 1 and h % tp == 0
+            and (self.tail_shift_mask is None
+                 or self.windows_per_frame % stack0 == 0)
+        )
+        if head_major:
+            q, k, v = (t.transpose(1, 0, 2, 3).reshape(h * g, n, dh)
+                       for t in (qkv[0], qkv[1], qkv[2]))
+        else:
+            q, k, v = (t.reshape(g * h, n, dh) for t in (qkv[0], qkv[1], qkv[2]))
         if attn_bf16:
             q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
         elif q.dtype != jnp.float32:
@@ -128,19 +162,6 @@ class WindowedMSA(nn.Module):
         stack, pad = _supertile_stack(n)
         adj = np.asarray(self.adj, dtype=np.float32)  # static: baked into the kernel
 
-        impl = self.attn_impl
-        if impl == "auto":
-            import jax
-
-            # Measured policy (v5e, tools/kernel_batch*_results.jsonl): the
-            # fully-fused kernel wins both in isolation fwd (1191 vs 1782µs
-            # bf16) and in the FULL train step (170.7 vs 184.6ms at batch 16)
-            # — the hybrid's isolated fwd+bwd win (3194 vs 4199µs) does not
-            # survive in-graph, where its (T,SN,SN) score round-trips contend
-            # with the projection GEMMs' HBM traffic. Hybrid stays selectable
-            # via attn_impl='hybrid' / --attn-impl.
-            impl = "pallas" if jax.default_backend() == "tpu" else "stacked"
-
         def fused(qu, ku, vu, mask, **tail_kw):
             """Fused attention — per-shard under shard_map when a
             `parallel.kernel_sharding` context is active. 'hybrid' = XLA
@@ -151,7 +172,8 @@ class WindowedMSA(nn.Module):
 
             kw = dict(scale=scale, stack=stack, pad_tokens=pad,
                       prune_u=prune_u, **tail_kw)
-            out = kernel_sharding.call_sharded(qu, ku, vu, mask, impl=impl, **kw)
+            out = kernel_sharding.call_sharded(qu, ku, vu, mask, impl=impl,
+                                               head_major=head_major, **kw)
             if out is None:
                 if impl == "hybrid":
                     from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention
@@ -184,7 +206,14 @@ class WindowedMSA(nn.Module):
             # major→minor and heads were appended after the group index, so the
             # shift-masked units are the last per_f of every f consecutive
             # groups of per_f.
-            if impl in ("pallas", "hybrid") and per_f % stack == 0:
+            if head_major:
+                # Head-major unit order (h, b, f, nW): the temporal-group
+                # period is nW units (per head-and-batch span); the kernel's
+                # selector uses the global unit index, which reduces mod the
+                # span correctly because b·f·nW is a multiple of f·nW.
+                out = fused(q, k, v, adj, tail_adj=tail_adj,
+                            units_per_group=nw, groups=f)
+            elif impl in ("pallas", "hybrid") and per_f % stack == 0:
                 # One fused kernel over all units: the kernel selects the plain
                 # vs shift-masked adjacency per supertile (no split/concat HBM
                 # round-trip, uniform unit axis for sharding).
@@ -205,6 +234,8 @@ class WindowedMSA(nn.Module):
                 parts.append(attend(qt, kt, vt, tail_adj).reshape(-1, 1, per_f, n, dh))
                 out = jnp.concatenate(parts, axis=1).reshape(u, n, dh)
 
+        if head_major:
+            out = out.reshape(h, g, n, dh).transpose(1, 0, 2, 3).reshape(g * h, n, dh)
         out = out.astype(cdt).reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)
         out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)

@@ -145,7 +145,7 @@ def _fwd_kernel_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref,
     v = v_ref[:]
     s = _bdot(q * jnp.asarray(scale, q.dtype), k_ref[:], 2, 2)  # (TG,SN,SN)
     a, _ = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
-    o_ref[:] = _bdot(a.astype(v.dtype), v, 2, 1)
+    o_ref[:] = _bdot(a.astype(v.dtype), v, 2, 1).astype(o_ref.dtype)
 
 
 def _fwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref, o_ref,
@@ -158,7 +158,8 @@ def _fwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref, o_re
         v = v_ref[g]
         s = _sddmm(q_ref[g], k_ref[g], scale)
         a, _ = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
-        o_ref[g] = jnp.dot(a.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[g] = jnp.dot(a.astype(v.dtype), v,
+                           preferred_element_type=jnp.float32).astype(o_ref.dtype)
         return 0
 
     _tile_loop(body, tiles_per_step)
@@ -330,7 +331,7 @@ def _attention(q, k, v, u_val, sel, prune, adj_key, scale, stack, pad_tokens,
 
 def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
                    pad_tokens, zero_quirk_tail):
-    zero_quirk, tail = zero_quirk_tail
+    zero_quirk, tail, out_dtype = zero_quirk_tail
     u_units, n, dh = q.shape
     (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
@@ -346,7 +347,7 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
     o = _call(
         kern, 1, t, sn, dh, tiles_per_step,
         (u_val, sel, qs, ks, vs, jnp.asarray(allowed_m), jnp.asarray(fill_m)),
-        _interpret(), dual=dual,
+        _interpret(), out_dtype=jnp.dtype(out_dtype), dual=dual,
     )
     out = o.reshape(u_units, np_, dh)[:, :n]
     return out, (q, k, v, u_val, sel)
@@ -354,7 +355,7 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
 
 def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
                    res, g):
-    zero_quirk, tail = zero_quirk_tail
+    zero_quirk, tail, _ = zero_quirk_tail
     q, k, v, u_val, sel = res
     u_units, n, dh = q.shape
     (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
@@ -423,7 +424,8 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
                             tail_adj: np.ndarray | None = None,
                             units_per_group: int | None = None,
                             groups: int | None = None,
-                            unit_offset=None):
+                            unit_offset=None,
+                            out_dtype=None):
     """Drop-in fused replacement for ``stacked_window_attention``.
 
     q, k, v: (U, N, dh) float32; ``adj``: static (N, N) {0,1} numpy mask.
@@ -445,5 +447,9 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
     prune = prune_u is not None
     u_val = jnp.asarray([prune_u if prune else 0.0], jnp.float32)
     sel = _make_sel(q.shape[0] // stack, stack, tail, unit_offset)
+    # out_dtype (default f32): bf16 halves the kernel's HBM write traffic —
+    # MXU accumulation stays f32, rounding happens only on the final store.
+    # The model casts attention output to compute_dtype right after anyway.
+    od = jnp.float32 if out_dtype is None else jnp.dtype(out_dtype)
     return _attention(q, k, v, u_val, sel, prune, key, float(scale), int(stack),
-                      pad_tokens, (bool(zero_quirk), tail))
+                      pad_tokens, (bool(zero_quirk), tail, str(np.dtype(od))))

@@ -155,7 +155,7 @@ def _bwd_kernel(q_l, q_m, q_r, k_l, k_m, k_r, v_l, v_m, v_r,
         in_range = (s_glob >= 0) & (s_glob <= n_tiles - 1)
         q = _sub(q_l, q_m, q_r, g, tg)
         do = _sub(do_l, do_m, do_r, g, tg)
-        dvec = _sub(d_l, d_m, d_r, g, tg)  # (ROWS, 1) rowsum(dO·O)
+        dvec = _sub(d_l, d_m, d_r, g, tg)[:, :1]  # (ROWS, 1) rowsum(dO·O)
         kcat = _kcat(k_l, k_m, k_r, g, tg)
         vcat = _kcat(v_l, v_m, v_r, g, tg)
         s = _dot_nt(q.astype(jnp.float32) * sc, kcat.astype(jnp.float32))
@@ -210,6 +210,11 @@ def _specs(tg, dh, n_grid_t):
 
 
 def _pick_tg(n_tiles: int, preferred: int = 8) -> int:
+    import os
+
+    override = os.environ.get("PALLAS_BANDED_TG")
+    if override:
+        preferred = int(override)
     tg = max(1, min(preferred, n_tiles))
     while n_tiles % tg:
         tg -= 1
@@ -254,13 +259,14 @@ def _banded_bwd(band_key, scale, vp, res, grad):
 
     qs, ks, vs = (_pack(x, vp) for x in (q, k, v))
     gs = _pack(grad, vp)
-    # lane-pad D to the dh width so every stream shares one block shape
-    ds_rows = _pack(jnp.broadcast_to(d, d.shape[:-1] + (dh,)), vp)[..., :1]
+    # D rides at full dh width (broadcast): a 1-lane block ((…,128,1)) is
+    # hostile to Mosaic's (8,128) tiling; dh·4B per row is cheap.
+    ds_rows = _pack(jnp.broadcast_to(d, d.shape[:-1] + (dh,)), vp)
     gh, n_tiles = qs.shape[0], qs.shape[1]
     tg = _pick_tg(n_tiles)
     planes = jnp.asarray(_planes(band_key, vp, ft))
     kl, km, kr = _specs(tg, dh, n_tiles // tg)
-    dl, dm, dr = _specs(tg, 1, n_tiles // tg)
+    dl, dm, dr = kl, km, kr  # D blocks share the (TG, ROWS, dh) spec
     plane_spec = pl.BlockSpec((3, ROWS, ROWS), lambda b, i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct(qs.shape, q.dtype)

@@ -55,17 +55,33 @@ def sharded_window_attention(mesh, axes=("dp", "sp")):
         _CTX = prev
 
 
+def tp_size() -> int:
+    """Size of the 'tp' mesh axis if a sharding context is active (0 when no
+    context / no tp axis). The model uses this to decide whether to emit its
+    unit axis HEAD-MAJOR, which lets ``call_sharded`` split heads across tp
+    instead of replicating attention compute."""
+    ctx = _CTX
+    if ctx is None:
+        return 0
+    mesh, _ = ctx
+    return int(mesh.shape.get("tp", 0)) if "tp" in mesh.shape else 0
+
+
 def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
                  tail_adj=None, units_per_group=None, groups=None,
-                 impl: str = "pallas"):
+                 impl: str = "pallas", head_major: bool = False):
     """Run the fused kernel per-shard if a context is active and the unit axis
     divides evenly; return None when not applicable (caller falls back).
     ``impl``: 'pallas' (fully-fused kernel) or 'hybrid' (XLA GEMMs + fused
-    masked-softmax) — each shard runs its own instance."""
+    masked-softmax) — each shard runs its own instance.
+    ``head_major``: the caller ordered units (h, b, f, nW) — prepend 'tp' to
+    the shard axes so the outermost split lands on heads."""
     ctx = _CTX
     if ctx is None:
         return None
     mesh, want_axes = ctx
+    if head_major:
+        want_axes = ("tp",) + tuple(a for a in want_axes if a != "tp")
     axes = tuple(a for a in want_axes if a in mesh.shape and mesh.shape[a] > 1)
     if not axes:
         return None

@@ -9,6 +9,8 @@ import pytest
 from sl_hwgat_tpu.configs import RunConfig
 from sl_hwgat_tpu.data.synthetic import write_synthetic_dataset
 
+pytestmark = pytest.mark.slow  # heavy tier: run with `pytest -m slow`
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

@@ -54,6 +54,7 @@ def test_gate_parity():
     _compare(_ref("GATE"), GATE(kp_dim=2, temporal_dim=16, num_classes=5), x)
 
 
+@pytest.mark.slow
 def test_wgate_gate_bf16_compute_close_to_f32():
     """Mixed precision on the banded models: bf16 forward stays close to f32
     (scores/softmax remain f32; projections and AV run bf16)."""

@@ -110,6 +110,7 @@ def test_per_layer_activation_parity(ref_model):
     assert checked == 8  # depths (2,2,4)
 
 
+@pytest.mark.slow
 def test_train_mode_runs_with_prune_and_dropout():
     ours = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5)
     x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 16, 64, 2)), jnp.float32)
@@ -122,6 +123,7 @@ def test_train_mode_runs_with_prune_and_dropout():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_full_model_pallas_impl_matches_stacked():
     """The fused Pallas path (incl. the dual-mask shifted blocks) must equal
     the stacked jnp path through the whole model. Interpreter mode on CPU."""
@@ -134,6 +136,7 @@ def test_full_model_pallas_impl_matches_stacked():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_model_hybrid_impl_matches_stacked():
     x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 16, 64, 2)), jnp.float32)
     stacked = HWGATE(kp_dim=2, temporal_dim=16, num_classes=5, attn_impl="stacked")
@@ -144,6 +147,7 @@ def test_full_model_hybrid_impl_matches_stacked():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """jax.checkpoint'd blocks: identical forward and gradients."""
     x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 16, 64, 2)), jnp.float32)

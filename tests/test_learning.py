@@ -12,9 +12,11 @@ import pickle
 
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("RUN_SLOW") != "1", reason="slow; set RUN_SLOW=1"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        os.environ.get("RUN_SLOW") != "1", reason="slow; set RUN_SLOW=1"),
+]
 
 
 def test_hwgate_overfits_deterministic_synthetic(tmp_path):

@@ -26,9 +26,11 @@ import pytest
 
 from tests.conftest import import_reference
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("RUN_SLOW") != "1", reason="slow; set RUN_SLOW=1"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        os.environ.get("RUN_SLOW") != "1", reason="slow; set RUN_SLOW=1"),
+]
 
 N_CLS, SRC_LEN, N_KP, KP_DIM = 5, 16, 64, 2
 N_SAMPLES, BATCH, EPOCHS, LR = 40, 4, 6, 5e-4

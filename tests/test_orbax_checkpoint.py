@@ -74,6 +74,7 @@ def test_orbax_resume_restores_structure(tmp_path):
             == jax.tree.structure(state.opt_state))
 
 
+@pytest.mark.slow
 def test_sharded_save_restore_on_mesh(tmp_path):
     """Sharded multihost save path (train/dist.py orbax branch): save LIVE
     sharded arrays on the 8-device CPU mesh, restore onto the same shardings,

@@ -81,6 +81,7 @@ def test_sharded_eval_matches(setup):
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
 
+@pytest.mark.slow
 def test_sharded_steps_with_fused_pallas_kernel(setup):
     """make_sharded_steps activates the kernel_sharding context, so a model
     pinned to attn_impl='pallas' traces through the shard_map'd fused kernel
@@ -113,6 +114,7 @@ def test_sharded_steps_with_fused_pallas_kernel(setup):
     assert max(jax.tree.leaves(diffs)) < 1e-4, diffs
 
 
+@pytest.mark.slow
 def test_sharded_steps_with_hybrid_impl(setup):
     """attn_impl='hybrid' under the GSPMD-sharded step (selectable via
     --attn-impl; auto uses the fully-fused kernel) must match the stacked

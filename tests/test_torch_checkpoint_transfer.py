@@ -11,6 +11,7 @@ from tests.conftest import import_reference
 DS = {"num_class": 5, "src_len": 16}
 
 
+@pytest.mark.slow
 def test_pt_checkpoint_roundtrip(tmp_path):
     torch = pytest.importorskip("torch")
     params_mod = import_reference("models.model_params")

@@ -36,6 +36,7 @@ def test_transformer_forward_parity():
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_transformer_bf16_compute_close_to_f32():
     import numpy as np
 

@@ -53,7 +53,7 @@ def run_experiment(exp: dict, timeout_s: int) -> dict:
             rec.update({"name": exp["name"], "status": "ok", "wall_s": time.time() - t0})
             return rec
     return {"name": exp["name"], "status": "failed", "rc": out.returncode,
-            "stderr_tail": (out.stderr or "").splitlines()[-3:],
+            "stderr_tail": (out.stderr or "").splitlines()[-25:],
             "wall_s": time.time() - t0}
 
 
