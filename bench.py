@@ -40,17 +40,21 @@ UNITS = 12288  # HWGATE stage 0 at batch 16: 16·96 groups × 4 windows × 2 hea
 CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", "480"))
 
 # (name, bench_kernel impl, env overlay, dtype, bytes/elem) — preference
-# order per the on-chip sweeps: fused bf16 tg16 is the production config
-# (batched in-kernel matmuls measured neutral; hybrid measured slower fwd).
+# order per the on-chip sweeps: fused bf16-in/bf16-out tg16 is the production
+# config (the model consumes attention output in compute_dtype, so the bf16
+# store is what training actually runs; it also keeps the timing chain
+# conversion-free — round-1's f32-out measurement carried a ~143µs XLA astype
+# pass per iteration that was NOT kernel time, see tools/kernel_batch16).
 CONFIGS = [
+    ("fused_bf16_obf16_tg16", "pallas_obf16", {}, "bfloat16", 2),
     ("fused_bf16_tg16", "pallas_bf16", {}, "bfloat16", 2),
     ("fused_f32", "pallas", {}, "float32", 4),
     ("stacked_xla_f32", "stacked", {}, "float32", 4),
 ]
 
 # Last successful on-chip measurement, used only when every child wedges.
-LAST_GOOD = {"time_us": 1191.4, "edges": 12288 * 164, "name": "fused_bf16_tg16",
-             "dtype": "bfloat16", "bytes": 2, "measured": "2026-08-18T06:30Z"}
+LAST_GOOD = {"time_us": 863.7, "edges": 12288 * 164, "name": "fused_bf16_obf16_tg16",
+             "dtype": "bfloat16", "bytes": 2, "measured": "2026-08-19T15:00Z"}
 
 
 def run_child(impl: str, env_overlay: dict, timeout_s: int):

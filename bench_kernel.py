@@ -32,6 +32,14 @@ def _enable_compile_cache(jax):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
+def _import_tile_masks(adj):
+    import numpy as np
+
+    from sl_hwgat_tpu.ops.pallas_attention import _tile_masks
+
+    return _tile_masks(np.asarray(adj), 32, 32, 4)
+
+
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
     units = int(sys.argv[2]) if len(sys.argv) > 2 else 12288
@@ -226,6 +234,68 @@ def main():
         else:
             body = lambda qq: mm(qq.reshape(T, SN, DH).astype(dt)).reshape(
                 units, n_tok, dh)
+    elif impl.startswith("tlay_"):
+        # Batch-17: TRANSPOSED-LAYOUT probes. batch-16 found the copy floor
+        # (589µs) is invariant to grid-step count — suspect: minor dim 64 is
+        # half a 128-lane tile, so every stream is lane-padded 2×. These
+        # probes hold q/k/v/out as (T, DH, SN) with minor dim 128:
+        #  tlay_copy_bf16: pure copy of (T,64,128) — the padding test.
+        #  tlay_mm_bf16:  S = dot((64,128)ᵀ-contract, ...) per tile +
+        #                 Oᵀ = dot_nt(q, S) — both MXU ops, lanes full.
+        #  tlay_fused_bf16: + reference-style mask/softmax between the dots.
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        dt = jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
+        base = impl[5:].removesuffix("_bf16")
+        SN, DH = 128, 64
+        T = units // 4
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "16"))
+
+        def dot_tt(a, b):
+            # a (DH, SN), b (DH, SN) → (SN, SN): contract leading dims
+            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def dot_nt(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        if base == "copy":
+            def kern(q_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    o_ref[g] = q_ref[g]
+        elif base == "mm":
+            def kern(q_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    s = dot_tt(q_ref[g], q_ref[g])           # (SN, SN) f32
+                    o_ref[g] = dot_nt(q_ref[g], s.astype(q_ref.dtype)).astype(dt)
+        elif base == "fused":
+            from sl_hwgat_tpu.ops.pallas_attention import (_masked_attn_matrix,
+                                                           _tile_masks)
+
+            def kern(q_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    s = dot_tt(q_ref[g], q_ref[g])
+                    a, _ = _masked_attn_matrix(s, al_ref[:], fl_ref[:], None, True)
+                    o_ref[g] = dot_nt(q_ref[g], a.astype(q_ref.dtype)).astype(dt)
+        else:
+            raise SystemExit(f"unknown tlay probe {impl}")
+
+        allowed_m, fill_m = _import_tile_masks(adj)
+        tile = pl.BlockSpec((TG, DH, SN), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        mask = pl.BlockSpec((SN, SN), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+        def mm(qq):
+            return pl.pallas_call(
+                kern, grid=(T // TG,), in_specs=[tile, mask, mask],
+                out_specs=tile,
+                out_shape=jax.ShapeDtypeStruct((T, DH, SN), dt),
+                interpret=jax.default_backend() != "tpu",
+            )(qq, jnp.asarray(allowed_m), jnp.asarray(fill_m))
+
+        q = jnp.swapaxes(q.reshape(T, SN, DH), 1, 2).astype(dt)  # (T, DH, SN)
+        body = mm
     elif impl in ("matmul_only", "matmul_k128", "matmul_only_bf16"):
         # upper bound: the two supertile matmuls without masking/softmax.
         # matmul_k128 pads the contraction dim 64→128 with zeros: if the time

@@ -172,12 +172,18 @@ class WindowedMSA(nn.Module):
 
             kw = dict(scale=scale, stack=stack, pad_tokens=pad,
                       prune_u=prune_u, **tail_kw)
+            if impl == "pallas" and attn_bf16:
+                # bf16 store halves the kernel's output HBM traffic; the
+                # MXU accumulates f32 and the model casts to compute_dtype
+                # right after anyway (rounding moves into the kernel store).
+                kw["out_dtype"] = jnp.bfloat16
             out = kernel_sharding.call_sharded(qu, ku, vu, mask, impl=impl,
                                                head_major=head_major, **kw)
             if out is None:
                 if impl == "hybrid":
                     from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention
 
+                    kw.pop("out_dtype", None)
                     out = hybrid_window_attention(qu, ku, vu, mask, **kw)
                 else:
                     from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention

@@ -363,7 +363,7 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
         g = jnp.pad(g, [(0, 0), (0, np_ - n), (0, 0)])
     gs = g.reshape(t, sn, dh)
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
-    tiles_per_step = _pick_tiles_per_step(t, sn, dh, preferred=8)
+    tiles_per_step = _pick_tiles_per_step(t, sn, dh)
     kern = functools.partial(
         _bwd_kernel_batched if (_batched() and not dual) else _bwd_kernel,
         scale=scale, zero_quirk=zero_quirk, prune=prune,
@@ -391,8 +391,8 @@ def _pick_tiles_per_step(t: int, sn: int, dh: int, preferred: int = 16) -> int:
 
     On-hardware sweep (v5e, tools/kernel_*_results.jsonl): fwd tg16 beats tg8
     (f32 2133 vs 2186us; bf16 1191 vs 1322us); tg32 fails to compile (VMEM).
-    Fwd defaults to 16; bwd passes ``preferred=8`` (more streamed operands,
-    tg16 unvalidated on hardware). ``PALLAS_ATTN_TG`` overrides both."""
+    bwd tg16 validated on hardware in batch-14 (4133us vs 4199us at tg8) —
+    both default to 16. ``PALLAS_ATTN_TG`` overrides both."""
     import os
 
     override = os.environ.get("PALLAS_ATTN_TG")

@@ -263,7 +263,10 @@ def _banded_bwd(band_key, scale, vp, res, grad):
     # hostile to Mosaic's (8,128) tiling; dh·4B per row is cheap.
     ds_rows = _pack(jnp.broadcast_to(d, d.shape[:-1] + (dh,)), vp)
     gh, n_tiles = qs.shape[0], qs.shape[1]
-    tg = _pick_tg(n_tiles)
+    # bwd keeps (TG+2) unrolled sub-tiles' (128, 384) score/prob/ds planes
+    # live on the VMEM stack; tg 8 measured 18M > the 16M scoped limit
+    # (tools/kernel_batch16) — default 4.
+    tg = _pick_tg(n_tiles, preferred=4)
     planes = jnp.asarray(_planes(band_key, vp, ft))
     kl, km, kr = _specs(tg, dh, n_tiles // tg)
     dl, dm, dr = kl, km, kr  # D blocks share the (TG, ROWS, dh) spec

@@ -17,11 +17,14 @@ every ``groups``-period attends under the shift-masked adjacency,
 units_per_shard`` and the selector is computed traced inside the shard
 (`ops/pallas_attention.py::_make_sel`).
 
-tp is deliberately NOT in the default axes: unit order is (b, f, nW, h) with
-heads minor, so a contiguous U-split cannot isolate heads; under a tp axis
-the attention compute is replicated (the surrounding projections stay
-tp-sharded via GSPMD). Equality with the unsharded kernel is tested on the
-virtual CPU mesh (`tests/test_kernel_sharding.py`).
+tp: in the default head-minor unit order (b, f, nW, h) a contiguous U-split
+cannot isolate heads, so tp is not in the default axes and attention compute
+is replicated across tp. When the MODEL emits units HEAD-MAJOR (h, b, f, nW)
+— which it does whenever ``tp_size() > 1`` divides the head count and the
+dual-mask alignment allows — it passes ``head_major=True`` and 'tp' is
+prepended to the shard axes, so the outermost split shards HEADS and
+attention compute drops by the tp factor. Equality with the unsharded kernel
+is tested on the virtual CPU mesh (`tests/test_kernel_sharding.py`).
 """
 
 from __future__ import annotations
@@ -69,7 +72,8 @@ def tp_size() -> int:
 
 def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
                  tail_adj=None, units_per_group=None, groups=None,
-                 impl: str = "pallas", head_major: bool = False):
+                 impl: str = "pallas", head_major: bool = False,
+                 out_dtype=None):
     """Run the fused kernel per-shard if a context is active and the unit axis
     divides evenly; return None when not applicable (caller falls back).
     ``impl``: 'pallas' (fully-fused kernel) or 'hybrid' (XLA GEMMs + fused
@@ -94,10 +98,13 @@ def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
         # a shard must hold whole temporal groups so no supertile mixes planes
         return None
 
+    extra = {}
     if impl == "hybrid":
         from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention as attn_fn
     else:
         from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention as attn_fn
+        if out_dtype is not None:
+            extra["out_dtype"] = out_dtype
 
     sizes = [mesh.shape[a] for a in axes]
     has_prune = prune_u is not None
@@ -114,6 +121,7 @@ def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
             prune_u=pu_ if has_prune else None, tail_adj=tail_adj,
             units_per_group=units_per_group, groups=groups,
             unit_offset=None if tail_adj is None else offset,
+            **extra,
         )
 
     spec = P(axes if len(axes) > 1 else axes[0], None, None)

@@ -54,3 +54,75 @@ def test_read_metadata(tmp_path):
     meta.write_text("id,video_dir,video_name,class,split\n0,a/x.mp4,x.mp4,hello,train\n")
     jobs = px.read_metadata(str(meta), "/root/videos")
     assert jobs == [{"id": "0", "video_dir": "a/x.mp4", "video_name": "x.mp4", "root": "/root/videos"}]
+
+
+class _StubPose:
+    """Stands in for the mediapipe net only (absent in this image); layout
+    matches `KEYPOINT_MODEL_DICT['mediapipe']` — (543, 4), x from the frame
+    mean so the test can verify real decoded pixels flowed through."""
+
+    def __call__(self, image):
+        h, w = image.shape[:2]
+        feat = np.full((543, 4), np.float32(image.mean() / 255.0))
+        return feat, h, w
+
+
+def test_extract_all_real_mp4_pool_fanout(tmp_path, monkeypatch):
+    """End-to-end pose pipeline with a REAL encoded video (VERDICT r1 item 8):
+    cv2.VideoWriter mp4 → metadata.csv → extract_all Pool fan-out →
+    `_frames` cv2 decode → (F, 543, 4) payloads → idempotent re-run.
+    Only the pose net itself is stubbed (mediapipe not installed here)."""
+    import csv as csv_mod
+
+    cv2 = __import__("cv2")
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    n_frames, h, w = 10, 48, 64
+    for name, level in (("a.mp4", 60), ("b.mp4", 200)):
+        wr = cv2.VideoWriter(str(vids / name),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (w, h))
+        assert wr.isOpened(), "opencv build lacks mp4v — cannot encode"
+        for _ in range(n_frames):
+            wr.write(np.full((h, w, 3), level, np.uint8))
+        wr.release()
+
+    meta = tmp_path / "metadata.csv"
+    with open(meta, "w", newline="") as f:
+        cw = csv_mod.writer(f)
+        cw.writerow(["id", "video_dir", "video_name"])
+        cw.writerow(["vidA", "a.mp4", "a.mp4"])
+        cw.writerow(["vidB", "b.mp4", "b.mp4"])
+
+    # stand in for mediapipe at the registry level — fork-start Pool workers
+    # inherit the patched module state, so the REAL _init_worker path runs
+    from sl_hwgat_tpu.data import pose as pose_registry
+
+    monkeypatch.setattr(pose_registry, "load_pose_model",
+                        lambda name, **kw: (_StubPose(), (543, 4)))
+
+    out_dir = tmp_path / "kp"
+    paths = px.extract_all(str(meta), str(vids), str(out_dir),
+                           pose_name="mediapipe", workers=2)
+    assert len(paths) == 2
+
+    payloads = {}
+    for vid in ("vidA", "vidB"):
+        with open(out_dir / f"{vid}.pkl", "rb") as f:
+            payloads[vid] = pickle.load(f)
+        p = payloads[vid]
+        assert p["feat"].shape == (n_frames, 543, 4)
+        assert (p["vid_height"], p["vid_width"]) == (h, w)
+        assert p["num_frames"] == n_frames
+    # decoded pixel values actually reached the pose model (per-video levels,
+    # loose tolerance for codec loss)
+    assert abs(payloads["vidA"]["feat"][0, 0, 0] - 60 / 255) < 0.05
+    assert abs(payloads["vidB"]["feat"][0, 0, 0] - 200 / 255) < 0.05
+
+    # idempotent: second run extracts nothing new
+    mtimes = {v: os.path.getmtime(out_dir / f"{v}.pkl") for v in ("vidA", "vidB")}
+    again = px.extract_all(str(meta), str(vids), str(out_dir),
+                           pose_name="mediapipe", workers=2)
+    assert again == []
+    for v, m in mtimes.items():
+        assert os.path.getmtime(out_dir / f"{v}.pkl") == m
