@@ -90,6 +90,32 @@ def main():
         kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
         body = lambda q: pallas_window_attention(
             q.astype(jnp.bfloat16), kb, vb, adj, scale=0.125, stack=4)
+    elif impl in ("pallas_tbf16", "pallas_tdual_bf16"):
+        # transposed-layout kernel (minor dim 128): state is (U, dh, N) bf16,
+        # output bf16 transposed — the between-iteration unpack/pack chain is
+        # a pure inverse pair XLA cancels, so this measures kernel-only time.
+        kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
+        vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
+        q = jnp.swapaxes(q, 1, 2).astype(jnp.bfloat16)
+        kwt = {}
+        if impl == "pallas_tdual_bf16":
+            tail = adj * (np.arange(32)[:, None] % 2 == np.arange(32)[None, :] % 2)
+            kwt = dict(tail_adj=tail, units_per_group=32, groups=3)
+        body = lambda qq: pallas_window_attention(
+            qq, kt, vt, adj, scale=0.125, stack=4, transposed=True,
+            out_dtype=jnp.bfloat16, **kwt)
+    elif impl == "pallas_tbwd_bf16":
+        kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
+        vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
+        q = jnp.swapaxes(q, 1, 2).astype(jnp.bfloat16)
+
+        def ft(qq):
+            o = pallas_window_attention(
+                qq, kt, vt, adj, scale=0.125, stack=4, transposed=True,
+                out_dtype=jnp.bfloat16)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        body = lambda qq: jax.grad(ft)(qq)
     elif impl == "pallas_obf16":
         # conversion-free chain: bf16 in, bf16 out — the true fused-kernel
         # time without the XLA astype pass the f32-out measurement carries.

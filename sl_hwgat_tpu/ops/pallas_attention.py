@@ -226,6 +226,97 @@ def _bwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref, fill_r
     _tile_loop(body, tiles_per_step)
 
 
+def _fwd_kernel_t(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref,
+                  o_ref, *, scale, zero_quirk, prune, tiles_per_step, dual):
+    """Transposed-layout forward: blocks are (TG, DH, SN) — minor dim 128.
+
+    Rationale (measured, tools/kernel_batch16): with the row-major (SN, DH=64)
+    layout every stream is lane-padded 64→128, so even a pure copy of the
+    working set costs 589µs bf16; the (DH, SN) layout fills all 128 lanes.
+    All contractions keep their natural transposed forms:
+      S    = QᵀᵀKᵀ        — contract dim0×dim0 → (SN, SN)
+      Oᵀ   = Vᵀ Aᵀ        — contract dim1×dim1 → (DH, SN)
+    """
+    pu = u_ref[0] if prune else None
+
+    def body(g, _):
+        allowed, fill = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref, dual,
+                                        tiles_per_step)
+        q = q_ref[g]  # (DH, SN)
+        s = jax.lax.dot_general(
+            q * jnp.asarray(scale, q.dtype), k_ref[g],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a, _ = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
+        v = v_ref[g]
+        o_ref[g] = jax.lax.dot_general(
+            v, a.astype(v.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        return 0
+
+    _tile_loop(body, tiles_per_step)
+
+
+def _bwd_kernel_t(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref,
+                  fill_ref, dq_ref, dk_ref, dv_ref, *, scale, zero_quirk,
+                  prune, tiles_per_step, dual):
+    """Transposed-layout backward; every gradient contraction also has a
+    natural (DH, SN)-minor form:
+      dVᵀ = dOᵀ A   (dim1×dim0) ; dA = dOᵀᵀVᵀ (dim0×dim0)
+      dQᵀ = Kᵀ dSᵀ  (dim1×dim1) ; dKᵀ = Qᵀ dS (dim1×dim0)
+    """
+    pu = u_ref[0] if prune else None
+
+    def body(g, _):
+        allowed, fill = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref, dual,
+                                        tiles_per_step)
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        dt = q.dtype
+        do = do_ref[g].astype(dt)  # (DH, SN)
+        s = jax.lax.dot_general(
+            q * jnp.asarray(scale, dt), k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a, s_masked = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
+        a_lp = a.astype(dt)
+        dv_ref[g] = jax.lax.dot_general(
+            do, a_lp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+        da = jax.lax.dot_general(
+            do, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+        ds = (ds * (s_masked == s).astype(jnp.float32)).astype(dt)
+        dq_ref[g] = (jax.lax.dot_general(
+            k, ds, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dt)
+        dk_ref[g] = (jax.lax.dot_general(
+            q, ds, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dt)
+        return 0
+
+    _tile_loop(body, tiles_per_step)
+
+
+def _pack_t(x, n, pad_tokens, stack):
+    """(U, dh, N) → (T, dh, SN): pad tokens, then lay a supertile's ``stack``
+    units side-by-side along lanes (token j of in-tile unit s at lane
+    s·Np + j — the SAME (row, col) semantics as the row-major supertile, so
+    all mask planes and the sel logic are shared)."""
+    u, dh, _ = x.shape
+    np_ = n if pad_tokens is None else pad_tokens
+    if np_ != n:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, np_ - n)])
+    t = u // stack
+    return x.reshape(t, stack, dh, np_).transpose(0, 2, 1, 3).reshape(
+        t, dh, stack * np_), t, stack * np_, np_
+
+
+def _unpack_t(x, u, n, np_, stack, dh):
+    t = u // stack
+    return x.reshape(t, dh, stack, np_).transpose(0, 2, 1, 3).reshape(
+        u, dh, np_)[:, :, :n]
+
+
 def _pad_stack(q, k, v, n, pad_tokens, stack):
     np_ = n if pad_tokens is None else pad_tokens
     if np_ != n:
@@ -252,11 +343,10 @@ def _tile_masks(adj, n, np_, stack):
 
 
 def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
-          out_dtype=jnp.float32, dual=False):
+          out_dtype=jnp.float32, dual=False, transposed=False):
     grid = (t // tiles_per_step,)
-    tile_spec = pl.BlockSpec(
-        (tiles_per_step, sn, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
+    blk = (tiles_per_step, dh, sn) if transposed else (tiles_per_step, sn, dh)
+    tile_spec = pl.BlockSpec(blk, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     if dual:
         mask_spec = pl.BlockSpec((2, sn, sn), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -269,7 +359,8 @@ def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
     n_tensor_in = len(args) - 4  # minus scalar u, sel, and the two masks
     in_specs = [scalar_spec, sel_spec] + [tile_spec] * n_tensor_in + [mask_spec, mask_spec]
     out_specs = tuple([tile_spec] * n_out) if n_out > 1 else tile_spec
-    shape = jax.ShapeDtypeStruct((t, sn, dh), out_dtype)
+    shape = jax.ShapeDtypeStruct((t, dh, sn) if transposed else (t, sn, dh),
+                                 out_dtype)
     out_shape = tuple([shape] * n_out) if n_out > 1 else shape
     return pl.pallas_call(
         kernel,
@@ -331,53 +422,81 @@ def _attention(q, k, v, u_val, sel, prune, adj_key, scale, stack, pad_tokens,
 
 def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
                    pad_tokens, zero_quirk_tail):
-    zero_quirk, tail, out_dtype = zero_quirk_tail
-    u_units, n, dh = q.shape
-    (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
+    zero_quirk, tail, out_dtype, transposed = zero_quirk_tail
+    if transposed:
+        u_units, dh, n = q.shape
+        (qs, _, _, _), (ks, _, _, _), (vs, t, sn, np_) = (
+            _pack_t(x, n, pad_tokens, stack) for x in (q, k, v))
+    else:
+        u_units, n, dh = q.shape
+        (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
     # Batched + dual is rejected by Mosaic (i1 vector reshape in the per-tile
     # mask select, kernel_batch4: dual_batched failed) — and the batched
     # variant measured neutral anyway; keep the validated unrolled path there.
+    if transposed:
+        base_kern = _fwd_kernel_t
+    elif _batched() and not dual:
+        base_kern = _fwd_kernel_batched
+    else:
+        base_kern = _fwd_kernel
     kern = functools.partial(
-        _fwd_kernel_batched if (_batched() and not dual) else _fwd_kernel,
-        scale=scale, zero_quirk=zero_quirk, prune=prune,
+        base_kern, scale=scale, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
     )
     o = _call(
         kern, 1, t, sn, dh, tiles_per_step,
         (u_val, sel, qs, ks, vs, jnp.asarray(allowed_m), jnp.asarray(fill_m)),
         _interpret(), out_dtype=jnp.dtype(out_dtype), dual=dual,
+        transposed=transposed,
     )
-    out = o.reshape(u_units, np_, dh)[:, :n]
+    if transposed:
+        out = _unpack_t(o, u_units, n, np_, stack, dh)
+    else:
+        out = o.reshape(u_units, np_, dh)[:, :n]
     return out, (q, k, v, u_val, sel)
 
 
 def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
                    res, g):
-    zero_quirk, tail, _ = zero_quirk_tail
+    zero_quirk, tail, _, transposed = zero_quirk_tail
     q, k, v, u_val, sel = res
-    u_units, n, dh = q.shape
-    (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
-    if np_ != n:
-        g = jnp.pad(g, [(0, 0), (0, np_ - n), (0, 0)])
-    gs = g.reshape(t, sn, dh)
+    if transposed:
+        u_units, dh, n = q.shape
+        (qs, _, _, _), (ks, _, _, _), (vs, _, _, _), (gs, t, sn, np_) = (
+            _pack_t(x, n, pad_tokens, stack) for x in (q, k, v, g))
+    else:
+        u_units, n, dh = q.shape
+        (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
+        if np_ != n:
+            g = jnp.pad(g, [(0, 0), (0, np_ - n), (0, 0)])
+        gs = g.reshape(t, sn, dh)
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
+    if transposed:
+        base_kern = _bwd_kernel_t
+    elif _batched() and not dual:
+        base_kern = _bwd_kernel_batched
+    else:
+        base_kern = _bwd_kernel
     kern = functools.partial(
-        _bwd_kernel_batched if (_batched() and not dual) else _bwd_kernel,
-        scale=scale, zero_quirk=zero_quirk, prune=prune,
+        base_kern, scale=scale, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
     )
     dq, dk, dv = _call(
         kern, 3, t, sn, dh, tiles_per_step,
         (u_val, sel, qs, ks, vs, gs, jnp.asarray(allowed_m),
          jnp.asarray(fill_m)),
-        _interpret(), out_dtype=q.dtype, dual=dual,
+        _interpret(), out_dtype=q.dtype, dual=dual, transposed=transposed,
     )
 
-    def unstack(x):
-        return x.reshape(u_units, np_, dh)[:, :n]
+    if transposed:
+        def unstack(x):
+            return _unpack_t(x, u_units, n, np_, stack, dh)
+    else:
+        def unstack(x):
+            return x.reshape(u_units, np_, dh)[:, :n]
 
     return unstack(dq), unstack(dk), unstack(dv), None, None
 
@@ -425,7 +544,8 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
                             units_per_group: int | None = None,
                             groups: int | None = None,
                             unit_offset=None,
-                            out_dtype=None):
+                            out_dtype=None,
+                            transposed: bool = False):
     """Drop-in fused replacement for ``stacked_window_attention``.
 
     q, k, v: (U, N, dh) float32; ``adj``: static (N, N) {0,1} numpy mask.
@@ -452,4 +572,6 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
     # The model casts attention output to compute_dtype right after anyway.
     od = jnp.float32 if out_dtype is None else jnp.dtype(out_dtype)
     return _attention(q, k, v, u_val, sel, prune, key, float(scale), int(stack),
-                      pad_tokens, (bool(zero_quirk), tail, str(np.dtype(od))))
+                      pad_tokens,
+                      (bool(zero_quirk), tail, str(np.dtype(od)),
+                       bool(transposed)))

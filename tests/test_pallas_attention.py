@@ -138,3 +138,68 @@ def test_dual_mask_rejects_straddling_supertiles():
         pallas_window_attention(
             q, k, v, ADJ32, scale=0.25, stack=4,
             tail_adj=ADJ32, units_per_group=6, groups=2)
+
+
+class TestTransposedLayout:
+    """Transposed-layout kernel ((U, dh, N) operands, minor dim 128) must
+    match the row-major kernel exactly — forward, dual-mask, prune, grads."""
+
+    def _qkv(self, u=32, n=32, dh=16, seed=9):
+        r = np.random.default_rng(seed)
+        return tuple(
+            jnp.asarray(r.normal(size=(u, n, dh)).astype(np.float32))
+            for _ in range(3)
+        )
+
+    def test_forward_matches_rowmajor(self):
+        q, k, v = self._qkv()
+        want = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4)
+        got = pallas_window_attention(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)), ADJ32,
+            scale=0.25, stack=4, transposed=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
+
+    def test_dual_mask_and_prune_match(self):
+        q, k, v = self._qkv(u=48, seed=10)
+        r = np.random.default_rng(3)
+        tail = ADJ32 * (r.random(ADJ32.shape) > 0.3)
+        kw = dict(scale=0.25, stack=4, tail_adj=tail, units_per_group=8,
+                  groups=3, prune_u=0.4)
+        want = pallas_window_attention(q, k, v, ADJ32, **kw)
+        got = pallas_window_attention(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)), ADJ32,
+            transposed=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
+
+    def test_gradients_match_rowmajor(self):
+        q, k, v = self._qkv(seed=11)
+
+        def loss_rm(q, k, v):
+            o = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4)
+            return jnp.sum(jnp.sin(o))
+
+        def loss_t(qt, kt, vt):
+            o = pallas_window_attention(qt, kt, vt, ADJ32, scale=0.25, stack=4,
+                                        transposed=True)
+            return jnp.sum(jnp.sin(jnp.swapaxes(o, 1, 2)))
+
+        want = jax.grad(loss_rm, argnums=(0, 1, 2))(q, k, v)
+        got = jax.grad(loss_t, argnums=(0, 1, 2))(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)))
+        for name, w, g in zip("qkv", want, got):
+            np.testing.assert_allclose(
+                np.asarray(jnp.swapaxes(g, 1, 2)), np.asarray(w), atol=2e-5,
+                err_msg=name)
+
+    def test_token_padding(self):
+        # 24 tokens padded to 32 (HGATE-style): pad on the transposed minor dim
+        q, k, v = self._qkv(n=24, seed=12)
+        want = pallas_window_attention(q, k, v, ADJ32[:24, :24], scale=0.25,
+                                       stack=4, pad_tokens=32)
+        got = pallas_window_attention(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)), ADJ32[:24, :24],
+            scale=0.25, stack=4, pad_tokens=32, transposed=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
