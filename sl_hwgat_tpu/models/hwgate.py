@@ -141,8 +141,28 @@ class WindowedMSA(nn.Module):
             and (self.tail_shift_mask is None
                  or self.windows_per_frame % stack0 == 0)
         )
+        # Transposed kernel layout (U, dh, N): minor dim 128 — removes the
+        # 2× lane padding of (N, dh=64) blocks (see ops/pallas_attention.py
+        # ::_fwd_kernel_t). The qkv relayout costs the same either way.
+        # Only the single-fused-call paths consume it (the split fallback
+        # and stacked/hybrid impls stay row-major).
+        import os
+
+        use_t = (
+            impl == "pallas"
+            and os.environ.get("PALLAS_ATTN_TRANSPOSED", "0") == "1"
+            and (self.tail_shift_mask is None
+                 or head_major
+                 or (self.windows_per_frame * h) % stack0 == 0)
+        )
         if head_major:
-            q, k, v = (t.transpose(1, 0, 2, 3).reshape(h * g, n, dh)
+            perm, shp = (1, 0, 3, 2), (h * g, dh, n)
+            if not use_t:
+                perm, shp = (1, 0, 2, 3), (h * g, n, dh)
+            q, k, v = (t.transpose(perm).reshape(shp)
+                       for t in (qkv[0], qkv[1], qkv[2]))
+        elif use_t:
+            q, k, v = (t.transpose(0, 1, 3, 2).reshape(g * h, dh, n)
                        for t in (qkv[0], qkv[1], qkv[2]))
         else:
             q, k, v = (t.reshape(g * h, n, dh) for t in (qkv[0], qkv[1], qkv[2]))
@@ -177,6 +197,8 @@ class WindowedMSA(nn.Module):
                 # MXU accumulates f32 and the model casts to compute_dtype
                 # right after anyway (rounding moves into the kernel store).
                 kw["out_dtype"] = jnp.bfloat16
+            if use_t:
+                kw["transposed"] = True
             out = kernel_sharding.call_sharded(qu, ku, vu, mask, impl=impl,
                                                head_major=head_major, **kw)
             if out is None:
@@ -240,6 +262,9 @@ class WindowedMSA(nn.Module):
                 parts.append(attend(qt, kt, vt, tail_adj).reshape(-1, 1, per_f, n, dh))
                 out = jnp.concatenate(parts, axis=1).reshape(u, n, dh)
 
+        if use_t:
+            # (U, dh, N) → (U, N, dh)
+            out = jnp.swapaxes(out, 1, 2)
         if head_major:
             out = out.reshape(h, g, n, dh).transpose(1, 0, 2, 3).reshape(g * h, n, dh)
         out = out.astype(cdt).reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)

@@ -73,7 +73,7 @@ def tp_size() -> int:
 def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
                  tail_adj=None, units_per_group=None, groups=None,
                  impl: str = "pallas", head_major: bool = False,
-                 out_dtype=None):
+                 out_dtype=None, transposed: bool = False):
     """Run the fused kernel per-shard if a context is active and the unit axis
     divides evenly; return None when not applicable (caller falls back).
     ``impl``: 'pallas' (fully-fused kernel) or 'hybrid' (XLA GEMMs + fused
@@ -105,6 +105,8 @@ def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
         from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention as attn_fn
         if out_dtype is not None:
             extra["out_dtype"] = out_dtype
+        if transposed:
+            extra["transposed"] = True
 
     sizes = [mesh.shape[a] for a in axes]
     has_prune = prune_u is not None

@@ -203,3 +203,23 @@ class TestTransposedLayout:
             scale=0.25, stack=4, pad_tokens=32, transposed=True)
         np.testing.assert_allclose(
             np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
+
+
+def test_full_model_transposed_layout_matches(monkeypatch):
+    """PALLAS_ATTN_TRANSPOSED=1: the full HWGATE forward through the
+    transposed-layout kernel (incl. dual-mask stages) matches the default."""
+    from sl_hwgat_tpu.models.hwgate import HWGATE
+
+    model = HWGATE(
+        kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
+        depths=(1, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
+        attn_impl="pallas",
+    )
+    r = np.random.default_rng(21)
+    x = jnp.asarray(r.normal(size=(2, 16, 64, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, train=False)
+
+    monkeypatch.setenv("PALLAS_ATTN_TRANSPOSED", "1")
+    got = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
