@@ -99,8 +99,9 @@ def _sub(ref_l, ref_m, ref_r, g, tg):
 
 
 def _kcat(ref_l, ref_m, ref_r, g, tg):
+    """Keys/values of sub-tiles g−1..g+1 side-by-side along lanes: (dh, 3·ROWS)."""
     return jnp.concatenate(
-        [_sub(ref_l, ref_m, ref_r, gg, tg) for gg in (g - 1, g, g + 1)], axis=0)
+        [_sub(ref_l, ref_m, ref_r, gg, tg) for gg in (g - 1, g, g + 1)], axis=1)
 
 
 def _softmax_rows(s):
@@ -119,24 +120,27 @@ def _dot_nn(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _dot_tn(a, b):
-    """aᵀ (K,M)·... — contract leading dims: a (K,M), b (K,N) → (M,N)."""
+def _dot_tt(a, b):
+    """Contract leading dims: a (K, M), b (K, N) → (M, N)."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
 def _fwd_kernel(q_ref, kl_ref, km_ref, kr_ref, vl_ref, vm_ref, vr_ref,
                 planes_ref, o_ref, *, scale, tg, n_tiles):
+    # Transposed layout: sub-tiles are (dh, ROWS) — minor dim 128. With dh=16
+    # the row-major layout lane-padded every stream 8×; here lanes are full.
+    # S/P/dS stay (query_row, key_col) so masks and softmax are unchanged.
     base = pl.program_id(1) * tg
     for g in range(tg):
         s_glob = base + g
-        q = q_ref[0, g]
-        kcat = _kcat(kl_ref, km_ref, kr_ref, g, tg)
+        q = q_ref[0, g]                                  # (dh, ROWS)
+        kcat = _kcat(kl_ref, km_ref, kr_ref, g, tg)      # (dh, 3·ROWS)
         vcat = _kcat(vl_ref, vm_ref, vr_ref, g, tg)
-        s = _dot_nt(q * jnp.asarray(scale, q.dtype), kcat)
+        s = _dot_tt(q * jnp.asarray(scale, q.dtype), kcat)   # (ROWS, 3·ROWS)
         s = s + _row_mask(s, planes_ref, s_glob == 0, s_glob == n_tiles - 1)
         p = _softmax_rows(s)
-        o_ref[0, g] = _dot_nn(p.astype(vcat.dtype), vcat)
+        o_ref[0, g] = _dot_nt(vcat, p.astype(vcat.dtype))    # (dh, ROWS)
 
 
 def _bwd_kernel(q_l, q_m, q_r, k_l, k_m, k_r, v_l, v_m, v_r,
@@ -146,40 +150,55 @@ def _bwd_kernel(q_l, q_m, q_r, k_l, k_m, k_r, v_l, v_m, v_r,
     ds rows of query sub-tiles −1..TG (one beyond each edge)."""
     base = pl.program_id(1) * tg
     sc = jnp.float32(scale)
-    zeros = jnp.zeros((ROWS, q_m.shape[-1]), jnp.float32)
+    dh = q_m.shape[2]
+    zeros = jnp.zeros((dh, ROWS), jnp.float32)
     dk_acc = [zeros] * tg
     dv_acc = [zeros] * tg
 
     for g in range(-1, tg + 1):
         s_glob = base + g
         in_range = (s_glob >= 0) & (s_glob <= n_tiles - 1)
-        q = _sub(q_l, q_m, q_r, g, tg)
+        q = _sub(q_l, q_m, q_r, g, tg)                   # (dh, ROWS)
         do = _sub(do_l, do_m, do_r, g, tg)
-        dvec = _sub(d_l, d_m, d_r, g, tg)[:, :1]  # (ROWS, 1) rowsum(dO·O)
-        kcat = _kcat(k_l, k_m, k_r, g, tg)
+        # D rides row-major (ROWS, dh_pad): one lane per query row
+        dvec = _sub(d_l, d_m, d_r, g, tg)[:, :1]         # (ROWS, 1)
+        kcat = _kcat(k_l, k_m, k_r, g, tg)               # (dh, 3·ROWS)
         vcat = _kcat(v_l, v_m, v_r, g, tg)
-        s = _dot_nt(q.astype(jnp.float32) * sc, kcat.astype(jnp.float32))
+        s = _dot_tt(q.astype(jnp.float32) * sc, kcat.astype(jnp.float32))
         s = s + _row_mask(s, planes_ref, s_glob == 0, s_glob == n_tiles - 1)
         p = _softmax_rows(s)
-        dp = _dot_nt(do.astype(jnp.float32), vcat.astype(jnp.float32))
-        ds = p * (dp - dvec)
+        dp = _dot_tt(do.astype(jnp.float32), vcat.astype(jnp.float32))
+        ds = p * (dp - dvec)                             # (ROWS, 3·ROWS)
         ds = jnp.where(in_range, ds, 0.0)
         if 0 <= g < tg:
-            dq_ref[0, g] = (_dot_nn(ds, kcat.astype(jnp.float32)) * sc).astype(dq_ref.dtype)
+            dq_ref[0, g] = (_dot_nt(kcat.astype(jnp.float32), ds)
+                            * sc).astype(dq_ref.dtype)
         p0 = jnp.where(in_range, p, 0.0)
         for j, gg in enumerate((g - 1, g, g + 1)):
             if 0 <= gg < tg:
                 ds_blk = ds[:, j * ROWS:(j + 1) * ROWS]
                 p_blk = p0[:, j * ROWS:(j + 1) * ROWS]
-                dk_acc[gg] = dk_acc[gg] + _dot_tn(ds_blk, q.astype(jnp.float32)) * sc
-                dv_acc[gg] = dv_acc[gg] + _dot_tn(p_blk, do.astype(jnp.float32))
+                dk_acc[gg] = dk_acc[gg] + _dot_nn(q.astype(jnp.float32), ds_blk) * sc
+                dv_acc[gg] = dv_acc[gg] + _dot_nn(do.astype(jnp.float32), p_blk)
     for g in range(tg):
         dk_ref[0, g] = dk_acc[g].astype(dk_ref.dtype)
         dv_ref[0, g] = dv_acc[g].astype(dv_ref.dtype)
 
 
 def _pack(x, vp):
-    """(G, H, F, V, dh) → (G·H, n_tiles, ROWS, dh) padded."""
+    """(G, H, F, V, dh) → (G·H, n_tiles, dh, ROWS) padded (transposed layout:
+    minor dim 128 — one XLA relayout that fuses with the caller's own
+    transposes; inverse pairs cancel between chained calls)."""
+    g, h, f, v, dh = x.shape
+    if vp != v:
+        x = jnp.pad(x, [(0, 0)] * 3 + [(0, vp - v), (0, 0)])
+    ft = ROWS // vp
+    return x.reshape(g * h, f // ft, ROWS, dh).swapaxes(2, 3)
+
+
+def _pack_rows(x, vp):
+    """Row-major (GH, n_tiles, ROWS, dh) pack — used only for the tiny D
+    stream, whose per-query scalar must index SUBLANES."""
     g, h, f, v, dh = x.shape
     if vp != v:
         x = jnp.pad(x, [(0, 0)] * 3 + [(0, vp - v), (0, 0)])
@@ -189,15 +208,15 @@ def _pack(x, vp):
 
 def _unpack(x, g, h, f, v, dh, vp):
     ft = ROWS // vp
-    x = x.reshape(g, h, f // ft, ft, vp, dh)[:, :, :, :, :v]
+    x = x.swapaxes(2, 3).reshape(g, h, f // ft, ft, vp, dh)[:, :, :, :, :v]
     return x.reshape(g, h, f, v, dh)
 
 
-def _specs(tg, dh, n_grid_t):
-    """(left, mid, right) block specs over a (GH, n_tiles, ROWS, dh) array.
-    Neighbor indices clamp at the edges; boundary masking makes the clamped
-    data irrelevant."""
-    shape = (1, tg, ROWS, dh)
+def _specs(tg, dh, n_grid_t, rows_major=False):
+    """(left, mid, right) block specs over a (GH, n_tiles, dh, ROWS) array
+    ((GH, n_tiles, ROWS, dh) when ``rows_major``). Neighbor indices clamp at
+    the edges; boundary masking makes the clamped data irrelevant."""
+    shape = (1, tg, ROWS, dh) if rows_major else (1, tg, dh, ROWS)
 
     def mk(off):
         def imap(b, i):
@@ -259,9 +278,9 @@ def _banded_bwd(band_key, scale, vp, res, grad):
 
     qs, ks, vs = (_pack(x, vp) for x in (q, k, v))
     gs = _pack(grad, vp)
-    # D rides at full dh width (broadcast): a 1-lane block ((…,128,1)) is
-    # hostile to Mosaic's (8,128) tiling; dh·4B per row is cheap.
-    ds_rows = _pack(jnp.broadcast_to(d, d.shape[:-1] + (dh,)), vp)
+    # D rides row-major at full dh width (broadcast): per-query scalars must
+    # index sublanes, and a 1-lane block is hostile to Mosaic tiling.
+    ds_rows = _pack_rows(jnp.broadcast_to(d, d.shape[:-1] + (dh,)), vp)
     gh, n_tiles = qs.shape[0], qs.shape[1]
     # bwd keeps (TG+2) unrolled sub-tiles' (128, 384) score/prob/ds planes
     # live on the VMEM stack; tg 8 measured 18M > the 16M scoped limit
@@ -269,7 +288,7 @@ def _banded_bwd(band_key, scale, vp, res, grad):
     tg = _pick_tg(n_tiles, preferred=4)
     planes = jnp.asarray(_planes(band_key, vp, ft))
     kl, km, kr = _specs(tg, dh, n_tiles // tg)
-    dl, dm, dr = kl, km, kr  # D blocks share the (TG, ROWS, dh) spec
+    dl, dm, dr = _specs(tg, dh, n_tiles // tg, rows_major=True)
     plane_spec = pl.BlockSpec((3, ROWS, ROWS), lambda b, i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct(qs.shape, q.dtype)
