@@ -104,6 +104,19 @@ def main():
         body = lambda qq: pallas_window_attention(
             qq, kt, vt, adj, scale=0.125, stack=4, transposed=True,
             out_dtype=jnp.bfloat16, **kwt)
+    elif impl == "pallas_tpre_bf16":
+        # KERNEL-ONLY truth for the transposed layout: state is pre-packed
+        # (T, dh, SN) bf16 so the timing chain has no pack/unpack relayouts
+        # (in the model those fuse into the qkv projection's output layout;
+        # in a bare chain XLA materializes them — pallas_tbf16 measures that).
+        from sl_hwgat_tpu.ops.pallas_attention import _pack_t
+
+        kp = _pack_t(jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16), 32, None, 4)[0]
+        vp_ = _pack_t(jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16), 32, None, 4)[0]
+        q = _pack_t(jnp.swapaxes(q, 1, 2).astype(jnp.bfloat16), 32, None, 4)[0]
+        body = lambda qq: pallas_window_attention(
+            qq, kp, vp_, adj, scale=0.125, stack=4, transposed="prepacked",
+            out_dtype=jnp.bfloat16)
     elif impl == "pallas_tbwd_bf16":
         kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
         vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)

@@ -423,7 +423,13 @@ def _attention(q, k, v, u_val, sel, prune, adj_key, scale, stack, pad_tokens,
 def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
                    pad_tokens, zero_quirk_tail):
     zero_quirk, tail, out_dtype, transposed = zero_quirk_tail
-    if transposed:
+    if transposed == "prepacked":
+        t, dh, sn = q.shape
+        np_ = sn // stack
+        n = np_ if pad_tokens is None else -1  # caller guarantees no padding
+        u_units = t * stack
+        qs, ks, vs = q, k, v
+    elif transposed:
         u_units, dh, n = q.shape
         (qs, _, _, _), (ks, _, _, _), (vs, t, sn, np_) = (
             _pack_t(x, n, pad_tokens, stack) for x in (q, k, v))
@@ -451,7 +457,9 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
         _interpret(), out_dtype=jnp.dtype(out_dtype), dual=dual,
         transposed=transposed,
     )
-    if transposed:
+    if transposed == "prepacked":
+        out = o
+    elif transposed:
         out = _unpack_t(o, u_units, n, np_, stack, dh)
     else:
         out = o.reshape(u_units, np_, dh)[:, :n]
@@ -462,6 +470,8 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
                    res, g):
     zero_quirk, tail, _, transposed = zero_quirk_tail
     q, k, v, u_val, sel = res
+    if transposed == "prepacked":
+        raise NotImplementedError("prepacked is a forward-only bench mode")
     if transposed:
         u_units, dh, n = q.shape
         (qs, _, _, _), (ks, _, _, _), (vs, _, _, _), (gs, t, sn, np_) = (
@@ -566,7 +576,8 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
         tail = (_cache_adj(tail_adj), int(units_per_group), int(groups))
     prune = prune_u is not None
     u_val = jnp.asarray([prune_u if prune else 0.0], jnp.float32)
-    sel = _make_sel(q.shape[0] // stack, stack, tail, unit_offset)
+    n_units = q.shape[0] * (stack if transposed == "prepacked" else 1)
+    sel = _make_sel(n_units // stack, stack, tail, unit_offset)
     # out_dtype (default f32): bf16 halves the kernel's HBM write traffic —
     # MXU accumulation stays f32, rounding happens only on the final store.
     # The model casts attention output to compute_dtype right after anyway.
@@ -574,4 +585,5 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
     return _attention(q, k, v, u_val, sel, prune, key, float(scale), int(stack),
                       pad_tokens,
                       (bool(zero_quirk), tail, str(np.dtype(od)),
-                       bool(transposed)))
+                       transposed if transposed == "prepacked"
+                       else bool(transposed)))

@@ -142,3 +142,81 @@ def test_matched_training_trajectories_track_reference():
     np.testing.assert_allclose(our_traj, ref_traj, rtol=0.02)
     # final train-set accuracy matches (measured: identical, 0.500 both)
     assert abs(our_acc - ref_acc) <= 0.05, (our_acc, ref_acc)
+
+
+def test_matched_training_gate_banded_family():
+    """Second anchor, banded family: GATE (whole-body 29-joint graph, banded
+    attention, weightedAvg pooling) trained head-to-head vs the reference
+    torch GATE — same init/data/regime. Covers the additive-mask attention
+    path and the learned pooling the HWGATE test doesn't touch."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from sl_hwgat_tpu.models.gate import GATE
+    from sl_hwgat_tpu.train.loop import make_steps
+    from sl_hwgat_tpu.train.state import (cosine_annealing_lr, make_optimizer,
+                                          set_lr)
+    from sl_hwgat_tpu.train.torch_import import gat_family_from_torch
+
+    params_mod = import_reference("models.model_params")
+    gate_mod = import_reference("models.GATE")
+    losses_mod = import_reference("losses.SmoothCrossEntropy")
+
+    n_samples, batch, epochs = 20, 4, 4
+    rng = np.random.default_rng(5)
+    y = (np.arange(n_samples) % N_CLS).astype(np.int64)
+    proto = rng.normal(size=(N_CLS, 1, 29, KP_DIM)).astype(np.float32)
+    x = proto[y] + 0.3 * rng.normal(
+        size=(n_samples, SRC_LEN, 29, KP_DIM)).astype(np.float32)
+    schedule = [np.random.default_rng(13 + e).permutation(n_samples)
+                .reshape(-1, batch) for e in range(epochs)]
+
+    torch.manual_seed(0)
+    p = params_mod.GATEParams({"num_class": N_CLS, "src_len": SRC_LEN}, KP_DIM,
+                              device=None)
+    p.drop_rate = 0.0
+    p.embed_dim, p.depths, p.num_heads = 64, 4, 4  # CPU-sized, same both sides
+    tmodel = gate_mod.Model(*p.get_model_params())
+    tmodel.eval()
+    init_sd = {k: v.detach().clone().numpy() for k, v in tmodel.state_dict().items()}
+
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=20)
+    crit = losses_mod.SmoothedCrossEntropyLoss()
+    xt, yt = torch.tensor(x), torch.tensor(y)
+    ref_traj = []
+    for ep in range(epochs):
+        total = 0.0
+        for idx in schedule[ep]:
+            loss = crit(tmodel(xt[idx]), yt[idx])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            total += loss.item()
+        sched.step()
+        ref_traj.append(total / len(schedule[ep]))
+
+    ours = GATE(kp_dim=KP_DIM, temporal_dim=SRC_LEN, num_classes=N_CLS,
+                embed_dim=64, depths=4, num_heads=4, drop_rate=0.0)
+    variables = jax.tree.map(jnp.asarray, gat_family_from_torch(init_sd))
+    optimizer = make_optimizer("adamw", LR)
+    opt_state = optimizer.init(variables["params"])
+    tstep, _ = make_steps(ours, optimizer, donate=False)
+    xj, yj = jnp.asarray(x), jnp.asarray(y.astype(np.int32))
+    valid = jnp.ones((batch,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    our_traj = []
+    for ep in range(epochs):
+        opt_state = set_lr(opt_state, cosine_annealing_lr(ep, LR))
+        total = 0.0
+        for step, idx in enumerate(schedule[ep]):
+            variables, opt_state, loss, _, _ = tstep(
+                variables, opt_state, xj[idx], yj[idx], valid, key, ep, step)
+            total += float(loss)
+        our_traj.append(total / len(schedule[ep]))
+
+    print(f"\nGATE matched-training: torch={ref_traj}\n          ours={our_traj}")
+    np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=1e-3)
+    np.testing.assert_allclose(our_traj, ref_traj, rtol=0.02)
