@@ -127,6 +127,7 @@ def test_tp_head_major_shards_units(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hwgate_forward_tp_head_major_matches_plain():
     """Full HWGATE forward with a tp axis: head-major sharded attention must
     equal the head-minor unsharded forward (dual-mask stages included)."""

@@ -205,6 +205,7 @@ class TestTransposedLayout:
             np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_model_transposed_layout_matches(monkeypatch):
     """PALLAS_ATTN_TRANSPOSED=1: the full HWGATE forward through the
     transposed-layout kernel (incl. dual-mask stages) matches the default."""
