@@ -51,10 +51,13 @@ def parser():
                    help="gradient-accumulation microbatches per optimizer "
                         "update (large effective batch at microbatch memory)")
     p.add_argument("--attn-impl", type=str, default="auto",
-                   choices=["auto", "stacked", "pallas", "hybrid"],
+                   choices=["auto", "stacked", "pallas", "hybrid",
+                            "pallas_banded"],
                    help="attention path: auto (pallas on TPU, stacked "
                         "elsewhere), stacked (jnp/XLA), pallas (fully-fused "
-                        "kernel), hybrid (XLA GEMMs + fused masked-softmax)")
+                        "kernel), hybrid (XLA GEMMs + fused masked-softmax); "
+                        "pallas_banded routes WGATE/GATE through the fused "
+                        "banded kernel")
     return p.parse_args()
 
 
@@ -177,6 +180,8 @@ def main():
     if args.compute_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE", "WGATE", "GATE", "Transformer"):
         cfg.overrides = dict(cfg.overrides, compute_dtype=args.compute_dtype)
     if args.attn_impl != "auto" and cfg.model_type in ("HWGATE", "HGATE"):
+        cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)
+    if args.attn_impl == "pallas_banded" and cfg.model_type in ("WGATE", "GATE"):
         cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)
     if args.remat and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, remat=True)

@@ -39,6 +39,7 @@ class GAttentionBlock(nn.Module):
     attn_drop: float = 0.0
     ff_ratio: float = 2.0
     compute_dtype: str = "float32"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -53,6 +54,7 @@ class GAttentionBlock(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             compute_dtype=self.compute_dtype,
+            attn_impl=self.attn_impl,
             name="attn",
         )(h, train=train)
         x = shortcut + h
@@ -80,6 +82,7 @@ class GATE(nn.Module):
     attn_drop_rate: float = 0.0
     ff_ratio: float = 2.0
     compute_dtype: str = "float32"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -106,6 +109,7 @@ class GATE(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 ff_ratio=self.ff_ratio,
                 compute_dtype=self.compute_dtype,
+                attn_impl=self.attn_impl,
                 name=f"layers_{i}",
             )(x, train=train)
         x = layer_norm("norm")(x)

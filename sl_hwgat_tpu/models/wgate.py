@@ -44,6 +44,10 @@ class BandedMSA(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     compute_dtype: str = "float32"
+    # 'auto' → the measured winner (banded XLA; the fused Pallas banded kernel
+    # lost on-chip pre-transposed-layout, see ROADMAP); 'pallas_banded' →
+    # ops/pallas_banded.py fused kernel; 'banded' → force the jnp path.
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -61,6 +65,14 @@ class BandedMSA(nn.Module):
         from sl_hwgat_tpu.parallel.edge_partition import call_sharded_banded
 
         out = call_sharded_banded(q, k, v, band, scale=dh**-0.5)
+        if out is None and self.attn_impl == "pallas_banded":
+            from sl_hwgat_tpu.ops.pallas_banded import (
+                ROWS, pallas_banded_frame_attention)
+
+            vp_ = next((c for c in (16, 32, 64, 128) if vtok <= c), ROWS)
+            if f % (ROWS // vp_) == 0:
+                out = pallas_banded_frame_attention(
+                    q, k, v, np.asarray(self.band, np.float32), scale=dh**-0.5)
         if out is None:
             out = banded_frame_attention(q, k, v, band, scale=dh**-0.5)
         out = out.transpose(0, 2, 3, 1, 4).reshape(g, n, d)  # (G,F,V,H,dh) → (G,N,D)
@@ -81,6 +93,7 @@ class WPartAttentionBlock(nn.Module):
     attn_drop: float = 0.0
     ff_ratio: float = 2.0
     compute_dtype: str = "float32"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,6 +110,7 @@ class WPartAttentionBlock(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             compute_dtype=self.compute_dtype,
+            attn_impl=self.attn_impl,
             name="attn",
         )(xw, train=train)
         x = shortcut + spatial_window_reverse(xw, self.window_size, f, k)
@@ -125,6 +139,7 @@ class WGATE(nn.Module):
     attn_drop_rate: float = 0.0
     ff_ratio: float = 2.0
     compute_dtype: str = "float32"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -147,6 +162,7 @@ class WGATE(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 ff_ratio=self.ff_ratio,
                 compute_dtype=self.compute_dtype,
+                attn_impl=self.attn_impl,
                 name=f"layers_{i}",
             )(x, train=train)
         x = layer_norm("norm")(x)

@@ -92,3 +92,21 @@ def test_single_block_sequence():
     want = banded_frame_attention(q, k, v, jnp.asarray(band), scale=0.5)
     got = pallas_banded_frame_attention(q, k, v, band, scale=0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_gate_model_pallas_banded_impl_matches_default():
+    """GATE with attn_impl='pallas_banded' routes through the fused kernel
+    and matches the jnp banded forward."""
+    import jax
+    from sl_hwgat_tpu.models.gate import GATE
+
+    kw = dict(kp_dim=2, num_kps=29, temporal_dim=8, num_classes=5,
+              embed_dim=32, depths=2, num_heads=2, drop_rate=0.0)
+    ref = GATE(**kw)
+    fused = GATE(**kw, attn_impl="pallas_banded")
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 8, 29, 2)),
+                    jnp.float32)
+    variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+    want = ref.apply(variables, x, train=False)
+    got = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
