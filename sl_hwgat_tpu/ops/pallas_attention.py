@@ -56,6 +56,59 @@ def _masked_attn_matrix(s, allowed, fill, prune_u, zero_quirk):
     return a / jnp.sum(a, axis=-1, keepdims=True), s
 
 
+def _compact_diag(x, stack, np_):
+    """(SN, SN) → (stack, np_, np_) diagonal (within-unit) blocks via static
+    slices — cheap VPU moves, no gathers."""
+    xg = x.reshape(stack, np_, stack * np_)
+    return jnp.stack([xg[g, :, g * np_:(g + 1) * np_] for g in range(stack)])
+
+
+def _expand_diag(p, stack, np_):
+    """(stack, np_, np_) → (SN, SN) block-diagonal with exact zeros off-diag."""
+    rows = []
+    for g in range(stack):
+        parts = []
+        if g:
+            parts.append(jnp.zeros((np_, g * np_), p.dtype))
+        parts.append(p[g])
+        if g < stack - 1:
+            parts.append(jnp.zeros((np_, (stack - 1 - g) * np_), p.dtype))
+        rows.append(jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _masked_attn_matrix_compact(s, allowed_c, prune_u, zero_quirk, stack, np_):
+    """Bit-identical to ``_masked_attn_matrix`` ∘ ``_expand_diag``: the
+    cross-unit entries of the full (SN, SN) softmax are exp(2·NEG − max) = 0
+    exactly in f32, so masking/softmax runs on the compacted (stack, np_, np_)
+    diagonal blocks — the VPU does ~¼ the elementwise work per supertile.
+
+    ``allowed_c``: compacted {0,1} adjacency blocks (hoisted per grid step).
+    Returns the EXPANDED (SN, SN) probability plane (exact zeros off-diag) so
+    the SpMM stays one MXU-shaped dot.
+    """
+    sc_raw = _compact_diag(s, stack, np_)
+    sc = sc_raw
+    if prune_u is not None:
+        prob = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
+        prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
+        sc = jnp.where(prob > prune_u, 0.0, sc)
+    keep = (allowed_c != 0) & (sc != 0) if zero_quirk else (allowed_c != 0)
+    sc = jnp.where(keep, sc, jnp.float32(NEG))
+    a_c = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
+    a_c = a_c / jnp.sum(a_c, axis=-1, keepdims=True)
+    # (expanded probs, compact probs, compact passthrough mask): the
+    # passthrough marks entries whose raw score survived masking/pruning —
+    # gradient flows only there (≡ the full path's s_masked == s).
+    return _expand_diag(a_c, stack, np_), a_c, (sc == sc_raw)
+
+
+def _compact_enabled():
+    import os
+
+    return os.environ.get("PALLAS_ATTN_COMPACT", "0") == "1"
+
+
 def _tile_loop(body, tiles_per_step):
     """Iterate the per-supertile body.
 
@@ -149,15 +202,30 @@ def _fwd_kernel_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref,
 
 
 def _fwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref, o_ref,
-                *, scale, zero_quirk, prune, tiles_per_step, dual):
+                *, scale, zero_quirk, prune, tiles_per_step, dual, stack=None):
     pu = u_ref[0] if prune else None
+    compact = _compact_enabled() and stack is not None
+    if compact:
+        np_ = allowed_ref.shape[-1] // stack
+        ac = [_compact_diag(allowed_ref[i] if dual else allowed_ref[:],
+                            stack, np_)
+              for i in range(2 if dual else 1)]  # hoisted once per grid step
 
     def body(g, _):
-        allowed, fill = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref, dual,
-                                        tiles_per_step)
         v = v_ref[g]
         s = _sddmm(q_ref[g], k_ref[g], scale)
-        a, _ = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
+        if compact:
+            if dual:
+                sel = sel_ref[pl.program_id(0) * tiles_per_step + g] == 1
+                allowed_c = jnp.where(sel, ac[1], ac[0])
+            else:
+                allowed_c = ac[0]
+            a, _, _ = _masked_attn_matrix_compact(
+                s, allowed_c, pu, zero_quirk, stack, np_)
+        else:
+            allowed, fill = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref,
+                                            dual, tiles_per_step)
+            a, _ = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
         o_ref[g] = jnp.dot(a.astype(v.dtype), v,
                            preferred_element_type=jnp.float32).astype(o_ref.dtype)
         return 0
@@ -189,33 +257,55 @@ def _bwd_kernel_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref,
 
 def _bwd_kernel(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref, fill_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, zero_quirk, prune, tiles_per_step,
-                dual):
+                dual, stack=None):
     pu = u_ref[0] if prune else None
 
+    compact = _compact_enabled() and stack is not None
+    if compact:
+        np_ = allowed_ref.shape[-1] // stack
+        ac = [_compact_diag(allowed_ref[i] if dual else allowed_ref[:],
+                            stack, np_)
+              for i in range(2 if dual else 1)]
+
     def body(g, _):
-        allowed, fill = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref, dual,
-                                        tiles_per_step)
         q = q_ref[g]
         k = k_ref[g]
         v = v_ref[g]
         dt = q.dtype
         do = do_ref[g].astype(dt)
         s = _sddmm(q, k, scale)
-        a, s_masked = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
+        da = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if compact:
+            if dual:
+                sel = sel_ref[pl.program_id(0) * tiles_per_step + g] == 1
+                allowed_c = jnp.where(sel, ac[1], ac[0])
+            else:
+                allowed_c = ac[0]
+            a, a_c, passthrough_c = _masked_attn_matrix_compact(
+                s, allowed_c, pu, zero_quirk, stack, np_)
+            da_c = _compact_diag(da, stack, np_)
+            # off-diagonal a is exactly 0 → the softmax-grad row sums and ds
+            # reduce to the compact blocks (≡ the full computation)
+            ds_c = a_c * (da_c - jnp.sum(da_c * a_c, axis=-1, keepdims=True))
+            ds_c = ds_c * passthrough_c.astype(jnp.float32)
+            ds = _expand_diag(ds_c, stack, np_).astype(dt)
+        else:
+            allowed, fill = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref,
+                                            dual, tiles_per_step)
+            a, s_masked = _masked_attn_matrix(s, allowed, fill, pu, zero_quirk)
+            ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+            # gradient flows only through entries that kept their raw score
+            # (masked / zero / pruned entries were replaced by constants; the
+            # prune mask itself is detached in the reference, HWGATE.py:95)
+            passthrough = (s_masked == s).astype(jnp.float32)
+            ds = (ds * passthrough).astype(dt)
         a_lp = a.astype(dt)
         # dV = Aᵀ dO ; dA = dO Vᵀ — expressed as dot_generals (no transposes)
         dv_ref[g] = jax.lax.dot_general(
             a_lp, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dt)
-        da = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
-        # gradient flows only through entries that kept their raw score
-        # (masked / zero / pruned entries were replaced by constants; the
-        # prune mask itself is detached in the reference, HWGATE.py:95)
-        passthrough = (s_masked == s).astype(jnp.float32)
-        ds = (ds * passthrough).astype(dt)
         dq_ref[g] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dt)
         dk_ref[g] = (
             jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
@@ -446,7 +536,7 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
     elif _batched() and not dual:
         base_kern = _fwd_kernel_batched
     else:
-        base_kern = _fwd_kernel
+        base_kern = functools.partial(_fwd_kernel, stack=stack)
     kern = functools.partial(
         base_kern, scale=scale, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
@@ -489,7 +579,7 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
     elif _batched() and not dual:
         base_kern = _bwd_kernel_batched
     else:
-        base_kern = _bwd_kernel
+        base_kern = functools.partial(_bwd_kernel, stack=stack)
     kern = functools.partial(
         base_kern, scale=scale, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
