@@ -30,10 +30,6 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
     TPU-native answer to HBM ceilings; each microbatch draws its own RNGs).
     """
     criterion = CRITERIA[criterion_type]
-    if grad_accum > 1 and mutable_stats:
-        raise NotImplementedError(
-            "grad_accum with batch-stats models (STGCN/DecoupledGCN) is not "
-            "supported: microbatch BN updates would need chaining")
 
     def split_rngs(key, epoch, step):
         key = jax.random.fold_in(jax.random.fold_in(key, epoch), step)
@@ -48,8 +44,10 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
         per = jax.vmap(lambda lg, lb: criterion(lg[None], lb[None]))(logits, labels)
         return jnp.sum(per * valid)
 
-    def grads_and_metrics(variables, x, y, valid, rngs, normalize=True):
-        aux_cols = {k: v for k, v in variables.items() if k != "params"}
+    def grads_and_metrics(variables, x, y, valid, rngs, normalize=True,
+                          aux_override=None):
+        aux_cols = (aux_override if aux_override is not None
+                    else {k: v for k, v in variables.items() if k != "params"})
 
         def loss_fn(params):
             out = model.apply(
@@ -81,27 +79,34 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
             # Accumulate UNNORMALIZED (valid-weighted sum) losses/grads and
             # divide once by the GLOBAL valid count — exactly the full-batch
             # weighted loss even when padding leaves microbatches partially
-            # (or fully) invalid.
+            # (or fully) invalid. Batch-stats models (STGCN/DecoupledGCN)
+            # chain their BN running stats through the scan carry — the same
+            # state evolution as running the microbatches sequentially.
+            aux0 = {k: v for k, v in variables.items() if k != "params"}
+
             def micro(carry, inp):
-                g_acc, loss_acc, corr_acc, seen_acc = carry
+                g_acc, loss_acc, corr_acc, seen_acc, aux = carry
                 xm, ym, vm, i = inp
                 rngs_m = {name: jax.random.fold_in(k, i) for name, k in rngs.items()}
-                g, _, loss, corr, seen = grads_and_metrics(
-                    variables, xm, ym, vm, rngs_m, normalize=False)
+                g, cols, loss, corr, seen = grads_and_metrics(
+                    variables, xm, ym, vm, rngs_m, normalize=False,
+                    aux_override=aux)
+                new_aux = {**aux, **cols} if mutable_stats else aux
                 return (
                     jax.tree.map(jnp.add, g_acc, g),
-                    loss_acc + loss, corr_acc + corr, seen_acc + seen,
+                    loss_acc + loss, corr_acc + corr, seen_acc + seen, new_aux,
                 ), None
 
             zeros = jax.tree.map(jnp.zeros_like, variables["params"])
-            (g_sum, loss_sum, correct, seen), _ = jax.lax.scan(
-                micro, (zeros, 0.0, 0.0, 0.0),
+            (g_sum, loss_sum, correct, seen, aux_out), _ = jax.lax.scan(
+                micro, (zeros, 0.0, 0.0, 0.0, aux0),
                 (xs, ys, vs, jnp.arange(grad_accum)),
             )
             denom = jnp.maximum(seen, 1.0)
             grads = jax.tree.map(lambda g: g / denom, g_sum)
             loss = loss_sum / denom
-            new_cols = {}
+            new_cols = {k: aux_out[k] for k in ("batch_stats",)
+                        if mutable_stats and k in aux_out}
         else:
             grads, new_cols, loss, correct, seen = grads_and_metrics(
                 variables, x, y, valid, rngs

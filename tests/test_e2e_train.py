@@ -239,3 +239,78 @@ def test_grad_accum_matches_full_batch_with_padding():
         v1["params"], v2["params"],
     )
     assert max(jax.tree.leaves(diffs)) < 1e-4, diffs
+
+
+def test_grad_accum_with_batch_stats_chains_bn():
+    """grad_accum on a BatchNorm model (STGCN): BN running stats chain through
+    the microbatch scan exactly as sequential microbatches would, and the
+    parameter update equals the accumulated-gradient update."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sl_hwgat_tpu.models.stgcn import stgcn_from_dataset
+    from sl_hwgat_tpu.train.loop import init_state, make_steps
+    from sl_hwgat_tpu.train.state import make_optimizer
+
+    ds = {"num_class": 4, "src_len": 8}
+    model = stgcn_from_dataset(ds, 2, dropout_ratio=0.0)
+
+    class Cfg:
+        seed = 0
+        optimizer_type = "sgd"  # linear in grads: accumulation is exact
+        lr = 1e-2
+
+    state, optimizer = init_state(model, Cfg, (8, 29, 2), ("dropout",))
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(4, 8, 29, 2)).astype(np.float32))
+    y = jnp.asarray(r.integers(0, 4, size=(4,)).astype(np.int32))
+    valid = jnp.ones(4, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    accum, _ = make_steps(model, optimizer, rng_streams=("dropout",),
+                          mutable_stats=True, donate=False, grad_accum=2)
+    va, _, loss_a, _, _ = accum(state.variables, state.opt_state, x, y, valid,
+                                key, 0, 0)
+
+    # manual sequential reference: chain stats through two half-batches,
+    # average the two unnormalized grads, one SGD step
+    plain, _ = make_steps(model, optimizer, rng_streams=("dropout",),
+                          mutable_stats=True, donate=False)
+
+    def grads_with(variables, xs, ys, vs, rng):
+        def loss_fn(params):
+            logits, cols = model.apply(
+                {**{k: v for k, v in variables.items() if k != "params"},
+                 "params": params},
+                xs, train=True, rngs=rng, mutable=["batch_stats"])
+            from sl_hwgat_tpu.train.losses import smoothed_cross_entropy
+            per = jax.vmap(lambda lg, lb: smoothed_cross_entropy(lg[None], lb[None]))(
+                logits, ys)
+            return jnp.sum(per * vs), cols
+        (l, cols), g = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+        return g, cols, l
+
+    folded = jax.random.fold_in(jax.random.fold_in(key, 0), 0)
+    (k0,) = jax.random.split(folded, 1)
+    r0 = {"dropout": jax.random.fold_in(k0, 0)}
+    r1 = {"dropout": jax.random.fold_in(k0, 1)}
+    g0, cols0, l0 = grads_with(state.variables, x[:2], y[:2], valid[:2], r0)
+    v_mid = {**state.variables, **cols0}
+    g1, cols1, l1 = grads_with(v_mid, x[2:], y[2:], valid[2:], r1)
+    g = jax.tree.map(lambda a, b: (a + b) / 4.0, g0, g1)
+
+    # BN stats must equal the sequentially-chained stats
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        va["batch_stats"], cols1["batch_stats"])
+    # loss equals the valid-weighted mean over the full batch
+    np.testing.assert_allclose(float(loss_a), float((l0 + l1) / 4.0), rtol=1e-6)
+    # parameter update equals one SGD step with the accumulated gradient
+    want_params = jax.tree.map(lambda p, gg: p - Cfg.lr * gg,
+                               state.variables["params"], g)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        va["params"], want_params)
