@@ -129,6 +129,19 @@ def main():
             return jnp.sum(o.astype(jnp.float32) ** 2)
 
         body = lambda qq: jax.grad(ft)(qq)
+    elif impl == "pallas_bwd_obf16":
+        # fwd+bwd through the PRODUCTION config (bf16 in/out kernel store):
+        # the round-1 bwd record (4133us) predates out_dtype and paid f32
+        # cotangent streams.
+        kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+        q = q.astype(jnp.bfloat16)
+
+        def fo(qq):
+            o = pallas_window_attention(
+                qq, kb, vb, adj, scale=0.125, stack=4, out_dtype=jnp.bfloat16)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        body = lambda qq: jax.grad(fo)(qq)
     elif impl == "pallas_obf16":
         # conversion-free chain: bf16 in, bf16 out — the true fused-kernel
         # time without the XLA astype pass the f32-out measurement carries.

@@ -52,6 +52,13 @@ def _masked_attn_matrix(s, allowed, fill, prune_u, zero_quirk):
         s = jnp.where(prob > prune_u, 0.0, s)
     keep = (allowed != 0) & (s != 0) if zero_quirk else (allowed != 0)
     s = jnp.where(keep, s, fill)
+    if _nomax():
+        # softmax without the max shift: exp(NEG)=0 exactly, and real scores
+        # are far from the f32 exp overflow bound (~88) at trained scales —
+        # saves a reduce + subtract VPU pass per tile. Shift-invariance makes
+        # this allclose (not bit-equal) to the shifted form.
+        a = jnp.exp(s)
+        return a / jnp.sum(a, axis=-1, keepdims=True), s
     a = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
     return a / jnp.sum(a, axis=-1, keepdims=True), s
 
@@ -107,6 +114,12 @@ def _compact_enabled():
     import os
 
     return os.environ.get("PALLAS_ATTN_COMPACT", "0") == "1"
+
+
+def _nomax():
+    import os
+
+    return os.environ.get("PALLAS_ATTN_NOMAX", "0") == "1"
 
 
 def _tile_loop(body, tiles_per_step):
