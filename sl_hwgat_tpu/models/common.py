@@ -123,3 +123,49 @@ class FeedForward(nn.Module):
         x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
         x = nn.Dense(self.out, kernel_init=DENSE_INIT, dtype=dt, name="fc2")(x)
         return nn.Dropout(self.drop_rate, deterministic=not train)(x)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact train-mode semantics.
+
+    flax's ``nn.BatchNorm`` updates the running variance with the BIASED
+    batch variance; torch ``_BatchNorm`` uses the UNBIASED one (×n/(n−1),
+    `torch/nn/modules/batchnorm.py`). Normalization itself uses the biased
+    variance in both. This module reproduces torch exactly (validated by the
+    STGCN matched-training test: running stats track to ~1e-6 per step).
+
+    Feature axis is the LAST axis; param/stat names match ``nn.BatchNorm``
+    ("scale"/"bias", batch_stats "mean"/"var") so `train/torch_import.py` and
+    existing checkpoints are unaffected. ``momentum`` follows the FLAX
+    convention (decay of the old value; torch momentum 0.1 ≡ 0.9 here).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_running_average: bool = False
+    scale_init: Callable = nn.initializers.ones
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        init_mean = lambda: jnp.zeros((feat,), jnp.float32)
+        init_var = lambda: jnp.ones((feat,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", init_mean)
+        ra_var = self.variable("batch_stats", "var", init_var)
+        scale = self.param("scale", self.scale_init, (feat,))
+        bias = self.param("bias", self.bias_init, (feat,))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.mean(jnp.square(x - mean), axes)
+            if not self.is_initializing():
+                n = x.size // feat
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var * bessel
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias

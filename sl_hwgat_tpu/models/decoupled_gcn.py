@@ -19,6 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from sl_hwgat_tpu.graphs.partition import spatial_graph
+from sl_hwgat_tpu.models.common import TorchBatchNorm
 
 
 def find_drop_size(num_nodes: int, num_edges: int, k: int = 1) -> float:
@@ -79,7 +80,7 @@ class TCNUnit(nn.Module):
             kernel_init=_KAIMING,
             name="conv",
         )(x)
-        return nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        return TorchBatchNorm(use_running_average=not train, name="bn")(x)
 
 
 class DecoupledGCNUnit(nn.Module):
@@ -118,16 +119,16 @@ class DecoupledGCNUnit(nn.Module):
         normed = learn_adj * (1.0 / (deg + 0.001))               # A @ diag(1/(D+eps))
 
         h = x @ lin_w + lin_b                                    # (N,T,V,3·out)
-        h = nn.BatchNorm(use_running_average=not train, name="bn0")(h)
+        h = TorchBatchNorm(use_running_average=not train, name="bn0")(h)
         h = h.reshape(n, t, v, s, out_ch)
         h = jnp.einsum("ntvkc,kcvw->ntwc", h, normed)
-        h = nn.BatchNorm(
+        h = TorchBatchNorm(
             use_running_average=not train, scale_init=nn.initializers.constant(1e-6), name="bn"
         )(h)
 
         if self.in_channels != self.out_channels:
             down = nn.Conv(out_ch, kernel_size=(1, 1), kernel_init=_KAIMING, name="down_conv")(x)
-            down = nn.BatchNorm(use_running_average=not train, name="down_bn")(down)
+            down = TorchBatchNorm(use_running_average=not train, name="down_bn")(down)
         else:
             down = x
         return nn.relu(h + down)
@@ -225,7 +226,7 @@ class DecoupledGCN(nn.Module):
         drop_size = find_drop_size(self.num_points, len(self.edges))
 
         xb = x.reshape(n, t, v * c)
-        xb = nn.BatchNorm(use_running_average=not train, name="data_bn")(xb)
+        xb = TorchBatchNorm(use_running_average=not train, name="data_bn")(xb)
         x = xb.reshape(n, t, v, c)
 
         schedule = [

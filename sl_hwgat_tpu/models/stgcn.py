@@ -17,6 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from sl_hwgat_tpu.graphs.partition import GraphPartition
+from sl_hwgat_tpu.models.common import TorchBatchNorm
 
 
 class GraphConv(nn.Module):
@@ -56,10 +57,10 @@ class STGCNBlock(nn.Module):
             res = nn.Conv(
                 self.out_channels, kernel_size=(1, 1), strides=(self.stride, 1), name="res_conv"
             )(x)
-            res = nn.BatchNorm(use_running_average=not train, name="res_bn")(res)
+            res = TorchBatchNorm(use_running_average=not train, name="res_bn")(res)
 
         x = GraphConv(self.out_channels, self.num_partitions, name="gcn")(x, a)
-        x = nn.BatchNorm(use_running_average=not train, name="tcn_bn1")(x)
+        x = TorchBatchNorm(use_running_average=not train, name="tcn_bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.out_channels,
@@ -68,7 +69,7 @@ class STGCNBlock(nn.Module):
             padding=((self.temporal_kernel // 2, self.temporal_kernel // 2), (0, 0)),
             name="tcn_conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, name="tcn_bn2")(x)
+        x = TorchBatchNorm(use_running_average=not train, name="tcn_bn2")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.relu(x + res)
 
@@ -103,7 +104,7 @@ class STGCN(nn.Module):
         # (V, C, T).view(N, V*C, T) so feature index = v·C + c, matching a
         # plain (T, V, C) → (T, V·C) reshape. ≡ `STGCN.py:214,256-259`.
         xb = x.reshape(n, t, v * c)
-        xb = nn.BatchNorm(use_running_average=not train, name="data_bn")(xb)
+        xb = TorchBatchNorm(use_running_average=not train, name="data_bn")(xb)
         x = xb.reshape(n, t, v, c)
 
         in_ch = self.in_channels

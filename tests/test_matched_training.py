@@ -220,3 +220,99 @@ def test_matched_training_gate_banded_family():
     print(f"\nGATE matched-training: torch={ref_traj}\n          ours={our_traj}")
     np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=1e-3)
     np.testing.assert_allclose(our_traj, ref_traj, rtol=0.02)
+
+
+def test_matched_training_stgcn_batchnorm_family():
+    """Third anchor, BatchNorm family: STGCN trained in FULL TRAIN MODE both
+    sides (batch-stat normalization + running-stat updates + edge-importance
+    weighting) — validates the BN train-time semantics (momentum, biased/
+    unbiased variance, stat chaining) that eval-mode parity can't see.
+    Dropout is the only stochastic piece; set to 0."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from sl_hwgat_tpu.graphs.skeleton import BODY29_EDGES
+    from sl_hwgat_tpu.models.stgcn import STGCN
+    from sl_hwgat_tpu.train.loop import make_steps
+    from sl_hwgat_tpu.train.state import (cosine_annealing_lr, make_optimizer,
+                                          set_lr)
+    from sl_hwgat_tpu.train.torch_import import stgcn_from_torch
+
+    params_mod = import_reference("models.model_params")
+    ref_mod = import_reference("models.STGCN")
+    losses_mod = import_reference("losses.SmoothCrossEntropy")
+
+    # lr 1e-4 (not the regime 5e-4): at 5e-4 this synthetic task is
+    # optimization-chaotic (loss 13→4→7) and f32 noise amplifies beyond any
+    # meaningful tolerance; the comparison needs a stable trajectory.
+    lr = 1e-4
+    n_samples, batch, epochs = 16, 4, 3
+    rng = np.random.default_rng(17)
+    y = (np.arange(n_samples) % N_CLS).astype(np.int64)
+    proto = rng.normal(size=(N_CLS, 1, 29, KP_DIM)).astype(np.float32)
+    x = proto[y] + 0.3 * rng.normal(
+        size=(n_samples, SRC_LEN, 29, KP_DIM)).astype(np.float32)
+    schedule = [np.random.default_rng(19 + e).permutation(n_samples)
+                .reshape(-1, batch) for e in range(epochs)]
+
+    torch.manual_seed(0)
+    p = params_mod.STGCNParams({"num_class": N_CLS, "src_len": SRC_LEN}, KP_DIM,
+                               device=None)
+    p.dropout_ratio = 0.0
+    tmodel = ref_mod.Model(*p.get_model_params())
+    tmodel.train()  # full BN train semantics; dropout_ratio=0 → deterministic
+    init_sd = {k: v.detach().clone().numpy() for k, v in tmodel.state_dict().items()}
+
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=20)
+    crit = losses_mod.SmoothedCrossEntropyLoss()
+    xt, yt = torch.tensor(x), torch.tensor(y)
+    ref_traj = []
+    for ep in range(epochs):
+        total = 0.0
+        for idx in schedule[ep]:
+            loss = crit(tmodel(xt[idx]), yt[idx])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            total += loss.item()
+        sched.step()
+        ref_traj.append(total / len(schedule[ep]))
+
+    ours = STGCN(in_channels=KP_DIM, edges=BODY29_EDGES, num_classes=N_CLS,
+                 dropout_ratio=0.0)
+    variables = jax.tree.map(jnp.asarray, stgcn_from_torch(init_sd))
+    optimizer = make_optimizer("adamw", lr)
+    opt_state = optimizer.init(variables["params"])
+    tstep, _ = make_steps(ours, optimizer, mutable_stats=True, donate=False)
+    xj, yj = jnp.asarray(x), jnp.asarray(y.astype(np.int32))
+    valid = jnp.ones((batch,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    our_traj = []
+    for ep in range(epochs):
+        opt_state = set_lr(opt_state, cosine_annealing_lr(ep, lr))
+        total = 0.0
+        for step, idx in enumerate(schedule[ep]):
+            variables, opt_state, loss, _, _ = tstep(
+                variables, opt_state, xj[idx], yj[idx], valid, key, ep, step)
+            total += float(loss)
+        our_traj.append(total / len(schedule[ep]))
+
+    print(f"\nSTGCN matched-training: torch={ref_traj}\n          ours={our_traj}")
+    np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=1e-3)
+    # BN's rsqrt + the deep conv stack amplify f32 accumulation-order noise
+    # faster than the attention models (measured ~2% by epoch 3 even at this
+    # reduced lr); the BN-stat assert below is the exact-semantics check.
+    np.testing.assert_allclose(our_traj, ref_traj, rtol=0.06)
+    # running stats after training must also track torch's
+    t_final = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    ours_final = stgcn_from_torch(t_final)
+    for k in ("batch_stats",):
+        jax.tree.map(
+            # abs tolerance: stats inherit the (documented) trajectory
+            # noise; per-STEP update semantics are exact (see TorchBatchNorm)
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-2),
+            variables[k], jax.tree.map(jnp.asarray, ours_final[k]))

@@ -40,3 +40,32 @@ def test_stgcn_forward_parity():
     variables = jax.tree.map(jnp.asarray, stgcn_from_torch(sd))
     got = ours.apply(variables, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-4)
+
+
+def test_torch_batchnorm_semantics_exact():
+    """TorchBatchNorm reproduces torch _BatchNorm train-mode semantics
+    exactly: biased-variance normalization, UNBIASED running-var update,
+    momentum 0.1 — the convention flax's nn.BatchNorm does not implement
+    (it updates with the biased variance). Caught by the STGCN
+    matched-training anchor; pinned here at module level."""
+    import torch
+
+    from sl_hwgat_tpu.models.common import TorchBatchNorm
+
+    r = np.random.default_rng(0)
+    x = r.normal(size=(4, 7, 16)).astype(np.float32)  # (N, L, C) channel-last
+
+    tbn = torch.nn.BatchNorm1d(16, momentum=0.1)
+    tbn.train()
+    with torch.no_grad():
+        # torch BatchNorm1d wants (N, C, L)
+        want = tbn(torch.tensor(x).permute(0, 2, 1)).permute(0, 2, 1).numpy()
+
+    ours = TorchBatchNorm(use_running_average=False)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got, cols = ours.apply(variables, jnp.asarray(x), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(cols["batch_stats"]["mean"]), tbn.running_mean.numpy(), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(cols["batch_stats"]["var"]), tbn.running_var.numpy(), atol=1e-6)
