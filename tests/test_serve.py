@@ -1,0 +1,68 @@
+"""Predictor serving API: checkpoint → bucketed compiled inference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    """Train-free checkpoint: init HWGATE at the SYNTH config and save."""
+    from sl_hwgat_tpu.constants import DATASET_PARAMS
+    from sl_hwgat_tpu.models import build_model
+    from sl_hwgat_tpu.train.checkpoint import save_checkpoint
+    from sl_hwgat_tpu.train.loop import init_state
+
+    ds = DATASET_PARAMS["SYNTH"]
+    model = build_model("HWGATE", ds, 2)
+
+    class Cfg:
+        seed = 0
+        optimizer_type = "adamw"
+        lr = 5e-4
+
+    state, _ = init_state(model, Cfg, (ds["src_len"], 64, 2), ("dropout",))
+    path = str(tmp_path_factory.mktemp("serve") / "model.ckpt")
+    save_checkpoint(path, state, 5e-4)
+    return path, ds
+
+
+def _clips(ds, n, rng):
+    # raw extractor layout: variable frame counts, (F, 543, 4)
+    return [rng.normal(size=(int(f), 543, 4)).astype(np.float32)
+            for f in rng.integers(ds["src_len"] // 2, ds["src_len"] * 2, size=n)]
+
+
+def test_predict_topk_and_bucketing(ckpt):
+    from sl_hwgat_tpu.serve import Predictor
+
+    path, ds = ckpt
+    pred = Predictor.from_checkpoint(path, model_type="HWGATE", dataset="SYNTH",
+                                     batch_buckets=(2, 4))
+    rng = np.random.default_rng(0)
+    clips = _clips(ds, 3, rng)
+    out = pred.predict_topk(clips, k=5)
+    assert len(out) == 3
+    for ids, scores in out:
+        assert ids.shape == (5,) and scores.shape == (5,)
+        assert np.all(scores[:-1] >= scores[1:])  # sorted
+        assert np.all(ids < ds["num_class"])
+    # 3 clips land in the 4-bucket; a single clip lands in the 2-bucket —
+    # exactly two compilations total
+    pred.predict_topk(clips[:1], k=1)
+    assert len(pred._compiled) == 2
+
+
+def test_padding_does_not_change_results(ckpt):
+    from sl_hwgat_tpu.serve import Predictor
+
+    path, ds = ckpt
+    pred = Predictor.from_checkpoint(path, model_type="HWGATE", dataset="SYNTH",
+                                     batch_buckets=(4,))
+    rng = np.random.default_rng(1)
+    clips = _clips(ds, 4, rng)
+    full = pred.predict_logits(clips)
+    partial = pred.predict_logits(clips[:2])  # padded to the same bucket
+    np.testing.assert_allclose(partial, full[:2], atol=1e-5)
