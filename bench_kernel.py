@@ -348,6 +348,86 @@ def main():
 
         q = jnp.swapaxes(q.reshape(T, SN, DH), 1, 2).astype(dt)  # (T, DH, SN)
         body = mm
+    elif impl.startswith("dmaflr_"):
+        # Batch-22 diagnostics for the 589µs row-major copy floor:
+        #  dmaflr_hbm: pure HBM→HBM async-copy per block, no VREG round trip —
+        #    the true Pallas DMA floor (is 589µs DMA or VREG-copy?).
+        #  dmaflr_3stream: copy with THREE bf16 input streams + 1 output —
+        #    the real fwd kernel's stream configuration, zero compute.
+        #  dmaflr_qkvpack: same bytes as 3stream but ONE packed (3,TG,SN,dh)
+        #    input stream — does stream COUNT matter?
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        T, SN, DH = units // 4, 128, 64
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "16"))
+        base = impl[7:]
+        qb = q.reshape(T, SN, DH).astype(jnp.bfloat16)
+
+        if base == "hbm":
+            def kern(i_ref, o_ref, sem):
+                i = pl.program_id(0)
+                cp = pltpu.make_async_copy(
+                    i_ref.at[pl.ds(i * TG, TG)], o_ref.at[pl.ds(i * TG, TG)], sem)
+                cp.start()
+                cp.wait()
+
+            def mm(x):
+                return pl.pallas_call(
+                    kern, grid=(T // TG,),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                    out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.bfloat16),
+                    scratch_shapes=[pltpu.SemaphoreType.DMA],
+                    compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                    interpret=jax.default_backend() != "tpu",
+                )(x)
+
+            q = qb
+            body = mm
+        elif base == "3stream":
+            def kern3(a_ref, b_ref, c_ref, o_ref):
+                for g in range(TG):
+                    o_ref[g] = a_ref[g] + b_ref[g] * 0 + c_ref[g] * 0
+
+            tile = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+            def mm3(x):
+                return pl.pallas_call(
+                    kern3, grid=(T // TG,), in_specs=[tile] * 3, out_specs=tile,
+                    out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.bfloat16),
+                    interpret=jax.default_backend() != "tpu",
+                )(x, k.reshape(T, SN, DH).astype(jnp.bfloat16),
+                  v.reshape(T, SN, DH).astype(jnp.bfloat16))
+
+            q = qb
+            body = mm3
+        elif base == "qkvpack":
+            def kernp(qkv_ref, o_ref):
+                for g in range(TG):
+                    o_ref[g] = (qkv_ref[0, g] + qkv_ref[1, g] * 0
+                                + qkv_ref[2, g] * 0)
+
+            tile3 = pl.BlockSpec((3, TG, SN, DH), lambda i: (0, i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            tile = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+            packed = jnp.stack([
+                qb, k.reshape(T, SN, DH).astype(jnp.bfloat16),
+                v.reshape(T, SN, DH).astype(jnp.bfloat16)])
+
+            def mmp(x):
+                return pl.pallas_call(
+                    kernp, grid=(T // TG,), in_specs=[tile3], out_specs=tile,
+                    out_shape=jax.ShapeDtypeStruct((T, SN, DH), jnp.bfloat16),
+                    interpret=jax.default_backend() != "tpu",
+                )(packed)
+
+            q = qb
+            body = mmp
+        else:
+            raise SystemExit(f"unknown dma floor probe {impl}")
     elif impl in ("matmul_only", "matmul_k128", "matmul_only_bf16"):
         # upper bound: the two supertile matmuls without masking/softmax.
         # matmul_k128 pads the contraction dim 64→128 with zeros: if the time
