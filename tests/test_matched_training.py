@@ -316,3 +316,81 @@ def test_matched_training_stgcn_batchnorm_family():
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-2),
             variables[k], jax.tree.map(jnp.asarray, ours_final[k]))
+
+
+def test_matched_training_transformer_family():
+    """Fourth anchor: the Transformer baseline (torch nn.MultiheadAttention
+    semantics, key-padding masks, LayerNorm placement) — completes the
+    matched-training matrix over the four model families (windowed GAT,
+    banded GAT, GCN/BatchNorm, Transformer)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from sl_hwgat_tpu.models.transformer import TransformerClassifier
+    from sl_hwgat_tpu.train.loop import make_steps
+    from sl_hwgat_tpu.train.state import (cosine_annealing_lr, make_optimizer,
+                                          set_lr)
+    from sl_hwgat_tpu.train.torch_import import transformer_from_torch
+
+    params_mod = import_reference("models.model_params")
+    ref_mod = import_reference("models.Transformer")
+    losses_mod = import_reference("losses.SmoothCrossEntropy")
+
+    n_samples, batch, epochs = 20, 4, 4
+    rng = np.random.default_rng(23)
+    y = (np.arange(n_samples) % N_CLS).astype(np.int64)
+    proto = rng.normal(size=(N_CLS, 1, 29, KP_DIM)).astype(np.float32)
+    x = proto[y] + 0.3 * rng.normal(
+        size=(n_samples, SRC_LEN, 29, KP_DIM)).astype(np.float32)
+    schedule = [np.random.default_rng(29 + e).permutation(n_samples)
+                .reshape(-1, batch) for e in range(epochs)]
+
+    torch.manual_seed(0)
+    p = params_mod.TransformerParams({"num_class": N_CLS, "src_len": SRC_LEN},
+                                     KP_DIM, device=None)
+    p.drop_rate = 0.0
+    tmodel = ref_mod.Model(*p.get_model_params())
+    tmodel.eval()  # dropout off; grads still flow
+    init_sd = {k: v.detach().clone().numpy() for k, v in tmodel.state_dict().items()}
+
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=20)
+    crit = losses_mod.SmoothedCrossEntropyLoss()
+    xt, yt = torch.tensor(x), torch.tensor(y)
+    ref_traj = []
+    for ep in range(epochs):
+        total = 0.0
+        for idx in schedule[ep]:
+            loss = crit(tmodel(xt[idx]), yt[idx])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            total += loss.item()
+        sched.step()
+        ref_traj.append(total / len(schedule[ep]))
+
+    ours = TransformerClassifier(input_dim=29 * KP_DIM, num_classes=N_CLS,
+                                 max_len=SRC_LEN, pool="mean", dropout=0.0)
+    variables = jax.tree.map(jnp.asarray, transformer_from_torch(init_sd))
+    optimizer = make_optimizer("adamw", LR)
+    opt_state = optimizer.init(variables["params"])
+    tstep, _ = make_steps(ours, optimizer, donate=False)
+    xj, yj = jnp.asarray(x), jnp.asarray(y.astype(np.int32))
+    valid = jnp.ones((batch,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    our_traj = []
+    for ep in range(epochs):
+        opt_state = set_lr(opt_state, cosine_annealing_lr(ep, LR))
+        total = 0.0
+        for step, idx in enumerate(schedule[ep]):
+            variables, opt_state, loss, _, _ = tstep(
+                variables, opt_state, xj[idx], yj[idx], valid, key, ep, step)
+            total += float(loss)
+        our_traj.append(total / len(schedule[ep]))
+
+    print(f"\nTransformer matched-training: torch={ref_traj}\n"
+          f"          ours={our_traj}")
+    np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=1e-3)
+    np.testing.assert_allclose(our_traj, ref_traj, rtol=0.02)
