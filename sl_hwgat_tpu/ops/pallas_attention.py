@@ -465,6 +465,14 @@ def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
     shape = jax.ShapeDtypeStruct((t, dh, sn) if transposed else (t, sn, dh),
                                  out_dtype)
     out_shape = tuple([shape] * n_out) if n_out > 1 else shape
+    params = {}
+    import os
+
+    if os.environ.get("PALLAS_ATTN_PARSEM") == "1":
+        # grid steps are fully independent here; 'parallel' semantics let
+        # Mosaic reorder/overlap them (experimental knob, off by default)
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -472,6 +480,7 @@ def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **params,
     )(*args)
 
 
