@@ -1,0 +1,72 @@
+"""Serving-latency benchmark: Predictor end-to-end (host preprocessing +
+compiled device forward) at each batch bucket, on whatever backend is live.
+
+Prints one JSON line: {"impl": "serve", "per_bucket_ms": {...}, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import numpy as np
+
+    import jax
+
+    if os.environ.get("BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    from sl_hwgat_tpu.constants import DATASET_PARAMS
+    from sl_hwgat_tpu.models import build_model
+    from sl_hwgat_tpu.serve import Predictor
+    from sl_hwgat_tpu.train.checkpoint import save_checkpoint
+    from sl_hwgat_tpu.train.loop import init_state
+
+    ds_name = sys.argv[1] if len(sys.argv) > 1 else "FDMSE-ISL"
+    ds = DATASET_PARAMS[ds_name]
+    model = build_model("HWGATE", ds, 2)
+
+    class Cfg:
+        seed = 0
+        optimizer_type = "adamw"
+        lr = 5e-4
+
+    state, _ = init_state(model, Cfg, (ds["src_len"], 64, 2), ("dropout",))
+    path = os.path.join(tempfile.mkdtemp(prefix="serve_"), "model.ckpt")
+    save_checkpoint(path, state, 5e-4)
+
+    buckets = (1, 4, 16)
+    pred = Predictor.from_checkpoint(path, model_type="HWGATE", dataset=ds_name,
+                                     batch_buckets=buckets)
+    rng = np.random.default_rng(0)
+
+    def clip():
+        return {"feat": rng.uniform(size=(ds["src_len"], 543, 4)).astype(np.float32),
+                "vid_width": 640, "vid_height": 480}
+
+    pred.warmup(clip())
+    out = {}
+    for b in buckets:
+        clips = [clip() for _ in range(b)]
+        pred.predict_topk(clips, k=5)  # warm the exact path
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            pred.predict_topk(clips, k=5)
+        per = (time.perf_counter() - t0) / reps
+        out[str(b)] = round(per * 1e3, 2)
+
+    print(json.dumps({"impl": "serve", "model": "HWGATE", "dataset": ds_name,
+                      "per_bucket_ms": out,
+                      "clips_per_sec_b16": round(16 / (out["16"] / 1e3), 1)}))
+
+
+if __name__ == "__main__":
+    main()
