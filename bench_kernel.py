@@ -348,6 +348,63 @@ def main():
 
         q = jnp.swapaxes(q.reshape(T, SN, DH), 1, 2).astype(dt)  # (T, DH, SN)
         body = mm
+    elif impl == "lp_fused_bf16":
+        # LANE-PACKED TRANSPORT probe: batch-22 showed the fused kernel sits
+        # within 2% of its zero-compute stream floor, and streams are 2×
+        # lane-padded in HBM (minor dim 64). Here q/k/v/out are streamed as
+        # (T/2, 128, 128) pairs (physically unpadded); the kernel statically
+        # lane-slices each pair into two (128,64) tiles and runs the SAME
+        # row-major fused schedule (full masking semantics, bf16 store).
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from sl_hwgat_tpu.ops.pallas_attention import (_masked_attn_matrix,
+                                                       _tile_masks)
+
+        T, SN, DH = units // 4, 128, 64
+        T2 = T // 2
+        TG2 = int(os.environ.get("PALLAS_ATTN_TG", "8"))
+        allowed_m, fill_m = _tile_masks(np.asarray(adj), 32, 32, 4)
+
+        def dot_nt(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def kern(q_ref, k_ref, v_ref, al_ref, fl_ref, o_ref):
+            for p in range(TG2):
+                outs = []
+                for hh in (0, 1):
+                    sl = slice(hh * DH, (hh + 1) * DH)
+                    qh = q_ref[p][:, sl]
+                    kh = k_ref[p][:, sl]
+                    vh = v_ref[p][:, sl]
+                    s = dot_nt(qh * jnp.asarray(0.125, qh.dtype), kh)
+                    a, _ = _masked_attn_matrix(s, al_ref[:], fl_ref[:], None, True)
+                    outs.append(jnp.dot(a.astype(vh.dtype), vh,
+                                        preferred_element_type=jnp.float32))
+                o_ref[p] = jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
+
+        tile = pl.BlockSpec((TG2, SN, 2 * DH), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        mask = pl.BlockSpec((SN, SN), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+        def pack2(x):
+            return jnp.swapaxes(x.reshape(T2, 2, SN, DH), 1, 2).reshape(
+                T2, SN, 2 * DH)
+
+        kp2 = pack2(k.reshape(T, SN, DH).astype(jnp.bfloat16))
+        vp2 = pack2(v.reshape(T, SN, DH).astype(jnp.bfloat16))
+        q = pack2(q.reshape(T, SN, DH).astype(jnp.bfloat16))  # prepacked state
+
+        def run(qq):
+            return pl.pallas_call(
+                kern, grid=(T2 // TG2,), in_specs=[tile, tile, tile, mask, mask],
+                out_specs=tile,
+                out_shape=jax.ShapeDtypeStruct((T2, SN, 2 * DH), jnp.bfloat16),
+                interpret=jax.default_backend() != "tpu",
+            )(qq, kp2, vp2, jnp.asarray(allowed_m), jnp.asarray(fill_m))
+
+        body = run
     elif impl.startswith("dmaflr_"):
         # Batch-22 diagnostics for the 589µs row-major copy floor:
         #  dmaflr_hbm: pure HBM→HBM async-copy per block, no VREG round trip —
