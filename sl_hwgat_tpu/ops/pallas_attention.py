@@ -468,9 +468,11 @@ def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
     params = {}
     import os
 
-    if os.environ.get("PALLAS_ATTN_PARSEM") == "1":
-        # grid steps are fully independent here; 'parallel' semantics let
-        # Mosaic reorder/overlap them (experimental knob, off by default)
+    if os.environ.get("PALLAS_ATTN_PARSEM", "1") == "1":
+        # grid steps are fully independent (each writes its own output
+        # block); 'parallel' dimension semantics measured +3% on fwd AND bwd
+        # (batch-23: 842/2037µs vs 864/2099). Default on; opt out with
+        # PALLAS_ATTN_PARSEM=0.
         params["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel",))
     return pl.pallas_call(
