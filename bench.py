@@ -53,8 +53,8 @@ CONFIGS = [
 ]
 
 # Last successful on-chip measurement, used only when every child wedges.
-LAST_GOOD = {"time_us": 863.7, "edges": 12288 * 164, "name": "fused_bf16_obf16_tg16",
-             "dtype": "bfloat16", "bytes": 2, "measured": "2026-08-19T15:00Z"}
+LAST_GOOD = {"time_us": 840.3, "edges": 12288 * 164, "name": "fused_bf16_obf16_tg16",
+             "dtype": "bfloat16", "bytes": 2, "measured": "2026-08-19T20:30Z"}
 
 
 def run_child(impl: str, env_overlay: dict, timeout_s: int):
