@@ -91,9 +91,10 @@ def main():
         body = lambda q: pallas_window_attention(
             q.astype(jnp.bfloat16), kb, vb, adj, scale=0.125, stack=4)
     elif impl in ("pallas_tbf16", "pallas_tdual_bf16"):
-        # transposed-layout kernel (minor dim 128): state is (U, dh, N) bf16,
-        # output bf16 transposed — the between-iteration unpack/pack chain is
-        # a pure inverse pair XLA cancels, so this measures kernel-only time.
+        # transposed-layout kernel (minor dim 128): state is (U, dh, N) bf16.
+        # NOTE (measured, batch-18/19): XLA does NOT cancel the interleaving
+        # unpack/pack pair between iterations — this chain carries ~1.5ms of
+        # relayouts; pallas_tpre_bf16 is the kernel-only measurement.
         kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
         vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
         q = jnp.swapaxes(q, 1, 2).astype(jnp.bfloat16)

@@ -12,6 +12,7 @@ Layer map (bottom-up), mirroring SURVEY.md §7:
                  meta generators, pose-extraction backends
 - ``train/``     train-state, jit'd train/eval steps, checkpointing, reporting, CLI
 - ``parallel/``  device-mesh setup and sharding rules (dp/sp/tp) for pjit/shard_map
+- ``serve.py``   production inference: checkpoint → bucketed compiled Predictor
 
 The compute path is JAX/XLA/Pallas; host-side data work is NumPy/SciPy as in the
 reference (`/root/reference/hwgat`, a pure-PyTorch research codebase).
