@@ -18,4 +18,4 @@ The compute path is JAX/XLA/Pallas; host-side data work is NumPy/SciPy as in the
 reference (`/root/reference/hwgat`, a pure-PyTorch research codebase).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
