@@ -76,12 +76,69 @@ def measure(n_shards: int, units_per_shard: int = 12288, inner: int = 10,
     }
 
 
+def measure_banded(n_shards: int, frames_per_shard: int = 96, inner: int = 10,
+                   outer: int = 3) -> dict:
+    """Weak scaling of the halo-exchange banded attention over an sp mesh —
+    BASELINE config 5's metric (edge-partitioned graphs, ±1-frame boundary
+    exchange riding ICI ppermute). GATE shapes: B16·H8·V29·dh16."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sl_hwgat_tpu.graphs.adjacency import additive_mask
+    from sl_hwgat_tpu.graphs.skeleton import BODY29_EDGES, edges_to_dense
+    from sl_hwgat_tpu.ops.attention import banded_frame_attention
+    from sl_hwgat_tpu.parallel.edge_partition import sharded_banded_frame_attention
+
+    devices = jax.devices()
+    if len(devices) < n_shards:
+        return {"n_shards": n_shards, "skipped": f"only {len(devices)} devices"}
+
+    B, H, V, DH = 16, 8, 29, 16
+    F = frames_per_shard * n_shards
+    eye = np.eye(V, dtype=np.float32)
+    spatial = edges_to_dense(BODY29_EDGES, V, self_loops=False)
+    band = jnp.asarray(np.stack([additive_mask(eye), additive_mask(spatial),
+                                 additive_mask(eye)]))
+    r = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(r.normal(size=(B, H, F, V, DH)).astype(np.float32))
+               for _ in range(3))
+    mesh = Mesh(np.array(devices[:n_shards]), ("sp",))
+    spec = NamedSharding(mesh, P(None, None, "sp", None, None))
+    q, k, v = (jax.device_put(x, spec) for x in (q, k, v))
+
+    def body(qq):
+        if n_shards == 1:
+            return banded_frame_attention(qq, k, v, band, scale=0.25)
+        return sharded_banded_frame_attention(qq, k, v, band, mesh=mesh,
+                                              axis="sp", scale=0.25)
+
+    loop = jax.jit(lambda x: jax.lax.fori_loop(0, inner, lambda i, y: body(y), x))
+    y = loop(q)
+    float(jnp.sum(y))
+    t0 = time.perf_counter()
+    for _ in range(outer):
+        y = loop(y)
+    float(jnp.sum(y))
+    per_op = (time.perf_counter() - t0) / (outer * inner)
+    edges = B * H * F * V * 3 * V
+    return {"n_shards": n_shards, "op": "banded_halo", "frames": F,
+            "time_us": per_op * 1e6, "edges_per_sec": edges / per_op}
+
+
 def main():
     units = int(os.environ.get("SCALING_UNITS_PER_SHARD", "12288"))
-    scales = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    args = sys.argv[1:]
+    op = "window"
+    if args and args[0] == "--op":
+        op = args[1]
+        args = args[2:]
+    scales = [int(a) for a in args] or [1, 2, 4, 8]
     results = []
     for n in scales:
-        rec = measure(n, units_per_shard=units)
+        rec = (measure_banded(n) if op == "banded"
+               else measure(n, units_per_shard=units))
         print(json.dumps(rec))
         if "edges_per_sec" in rec:
             results.append(rec)
