@@ -394,3 +394,95 @@ def test_matched_training_transformer_family():
           f"          ours={our_traj}")
     np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=1e-3)
     np.testing.assert_allclose(our_traj, ref_traj, rtol=0.02)
+
+
+def test_matched_training_decoupled_gcn_family():
+    """Fifth anchor: DecoupledGCN — decoupled (grouped) adjacency gradients
+    and the S/T/C attention modules, trained head-to-head in eval mode both
+    sides (DropGraph draws from the global torch RNG and cannot be
+    seed-matched; eval disables it while gradients still flow — BN then
+    normalizes with running stats on both sides identically)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from sl_hwgat_tpu.graphs.skeleton import BODY29_EDGES
+    from sl_hwgat_tpu.models.decoupled_gcn import DecoupledGCN
+    from sl_hwgat_tpu.train.loop import make_steps
+    from sl_hwgat_tpu.train.state import (cosine_annealing_lr, make_optimizer,
+                                          set_lr)
+    from sl_hwgat_tpu.train.torch_import import decoupled_gcn_from_torch
+
+    params_mod = import_reference("models.model_params")
+    ref_mod = import_reference("models.DecoupledGCN")
+    losses_mod = import_reference("losses.SmoothCrossEntropy")
+
+    lr = 1e-4
+    n_samples, batch, epochs = 12, 4, 2
+    rng = np.random.default_rng(31)
+    y = (np.arange(n_samples) % N_CLS).astype(np.int64)
+    proto = rng.normal(size=(N_CLS, 1, 29, KP_DIM)).astype(np.float32)
+    x = proto[y] + 0.3 * rng.normal(
+        size=(n_samples, SRC_LEN, 29, KP_DIM)).astype(np.float32)
+    schedule = [np.random.default_rng(37 + e).permutation(n_samples)
+                .reshape(-1, batch) for e in range(epochs)]
+
+    torch.manual_seed(0)
+    p = params_mod.DecoupledGCNParams({"num_class": N_CLS, "src_len": SRC_LEN},
+                                      KP_DIM, device=None)
+    tmodel = ref_mod.Model(*p.get_model_params())
+    tmodel.eval()  # DropGraph/dropout off; grads flow; BN uses running stats
+    init_sd = {k: v.detach().clone().numpy() for k, v in tmodel.state_dict().items()}
+
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=20)
+    crit = losses_mod.SmoothedCrossEntropyLoss()
+    xt, yt = torch.tensor(x), torch.tensor(y)
+    ref_traj = []
+    for ep in range(epochs):
+        total = 0.0
+        for idx in schedule[ep]:
+            loss = crit(tmodel(xt[idx]), yt[idx])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            total += loss.item()
+        sched.step()
+        ref_traj.append(total / len(schedule[ep]))
+
+    ours = DecoupledGCN(in_channels=KP_DIM, edges=BODY29_EDGES,
+                        num_classes=N_CLS, dropout_ratio=0.0)
+    variables = jax.tree.map(jnp.asarray, decoupled_gcn_from_torch(init_sd))
+    optimizer = make_optimizer("adamw", lr)
+    opt_state = optimizer.init(variables["params"])
+    # train=False semantics on our side too: use the eval-mode apply inside a
+    # custom step (BN running stats, no DropGraph), matching torch eval-mode
+    # training exactly.
+    from sl_hwgat_tpu.train.losses import smoothed_cross_entropy
+
+    @jax.jit
+    def estep(variables, opt_state, xb, yb):
+        def loss_fn(params):
+            logits = ours.apply({**variables, "params": params}, xb, train=False)
+            return smoothed_cross_entropy(logits, yb)
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              variables["params"])
+        params = jax.tree.map(lambda a, u: a + u, variables["params"], updates)
+        return {**variables, "params": params}, opt_state, loss
+
+    xj, yj = jnp.asarray(x), jnp.asarray(y.astype(np.int32))
+    our_traj = []
+    for ep in range(epochs):
+        opt_state = set_lr(opt_state, cosine_annealing_lr(ep, lr))
+        total = 0.0
+        for idx in schedule[ep]:
+            variables, opt_state, loss = estep(variables, opt_state, xj[idx], yj[idx])
+            total += float(loss)
+        our_traj.append(total / len(schedule[ep]))
+
+    print(f"\nDecoupledGCN matched-training: torch={ref_traj}\n"
+          f"          ours={our_traj}")
+    np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=2e-3)
+    np.testing.assert_allclose(our_traj, ref_traj, rtol=0.02)
