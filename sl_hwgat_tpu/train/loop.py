@@ -130,34 +130,70 @@ def make_steps(model, optimizer, criterion_type: str = "smooth_cross_entropy",
     )
 
 
+_PIPELINE_DEPTH = 2  # steps the host may run ahead of metric readback
+
+
 def train_epoch(train_step, state: TrainState, loader, key, epoch: int):
-    """One pass over the training loader. ≡ `utils.py:93-116`."""
+    """One pass over the training loader. ≡ `utils.py:93-116`.
+
+    Metrics are materialized ``_PIPELINE_DEPTH`` steps late: ``float(loss)``
+    immediately after dispatch would block the host on the device every step,
+    serializing batch assembly/transfer with compute. The bounded window
+    keeps host work overlapped with the device while capping queued buffers.
+    """
+    from collections import deque
+
     total_loss, correct, seen, batches = 0.0, 0.0, 0.0, 0
     variables, opt_state = state.variables, state.opt_state
+    pending: deque = deque()
+
+    def drain_one():
+        nonlocal total_loss, correct, seen, batches
+        loss, c, v = pending.popleft()
+        total_loss += float(loss)
+        correct += float(c)
+        seen += float(v)
+        batches += 1
+
     for step, (x, y, valid) in enumerate(loader.epoch(epoch)):
         variables, opt_state, loss, c, v = train_step(
             variables, opt_state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid),
             key, epoch, step,
         )
-        total_loss += float(loss)
-        correct += float(c)
-        seen += float(v)
-        batches += 1
+        pending.append((loss, c, v))
+        if len(pending) > _PIPELINE_DEPTH:
+            drain_one()
+    while pending:
+        drain_one()
     state.variables, state.opt_state = variables, opt_state
     return total_loss / max(batches, 1), correct / max(seen, 1.0)
 
 
 def evaluate(eval_step, state: TrainState, loader, k: int = 1, epoch: int = 0):
-    """Top-k evaluation. ≡ `utils.py:118-142`."""
+    """Top-k evaluation. ≡ `utils.py:118-142`. Same bounded readback window
+    as ``train_epoch``."""
+    from collections import deque
+
     total_loss, correct, seen, batches = 0.0, 0.0, 0.0, 0
-    for x, y, valid in loader.epoch(epoch):
-        loss, c, v, _ = eval_step(
-            state.variables, jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid), k
-        )
+    pending: deque = deque()
+
+    def drain_one():
+        nonlocal total_loss, correct, seen, batches
+        loss, c, v = pending.popleft()
         total_loss += float(loss)
         correct += float(c)
         seen += float(v)
         batches += 1
+
+    for x, y, valid in loader.epoch(epoch):
+        loss, c, v, _ = eval_step(
+            state.variables, jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid), k
+        )
+        pending.append((loss, c, v))
+        if len(pending) > _PIPELINE_DEPTH:
+            drain_one()
+    while pending:
+        drain_one()
     return total_loss / max(batches, 1), correct / max(seen, 1.0)
 
 
