@@ -131,3 +131,38 @@ class Predictor:
                 self.variables,
                 jnp.zeros((b,) + x.shape, jnp.float32),
             ).block_until_ready()
+
+    # -- export ----------------------------------------------------------------
+    def export_stablehlo(self, path: str, batch: int, sample_clip) -> str:
+        """Serialize the compiled forward (weights baked in) as a portable
+        StableHLO artifact (`jax.export`): servable from any JAX-compatible
+        runtime without this package's model code. Returns the written path.
+
+        The exported function takes ONE argument — the preprocessed batch
+        ``(batch, *transform_output_shape) float32`` — and returns logits.
+        """
+        import jax.export as jex
+
+        x = np.asarray(self.transform(self._payload(sample_clip)), np.float32)
+        spec = jax.ShapeDtypeStruct((batch,) + x.shape, jnp.float32)
+
+        variables = self.variables
+
+        @jax.jit
+        def fwd(xb):
+            return self.model.apply(variables, xb, train=False)
+
+        blob = jex.export(fwd)(spec).serialize()
+        with open(path, "wb") as f:
+            f.write(blob)
+        return path
+
+    @staticmethod
+    def load_exported(path: str):
+        """Load a `export_stablehlo` artifact; returns a callable
+        (batch, ...) float32 → logits."""
+        import jax.export as jex
+
+        with open(path, "rb") as f:
+            exported = jex.deserialize(f.read())
+        return lambda xb: exported.call(jnp.asarray(xb, jnp.float32))

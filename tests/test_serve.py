@@ -66,3 +66,25 @@ def test_padding_does_not_change_results(ckpt):
     full = pred.predict_logits(clips)
     partial = pred.predict_logits(clips[:2])  # padded to the same bucket
     np.testing.assert_allclose(partial, full[:2], atol=1e-5)
+
+
+def test_stablehlo_export_roundtrip(ckpt, tmp_path):
+    """Exported StableHLO artifact reproduces the Predictor's logits without
+    any model code (weights baked into the serialized computation)."""
+    from sl_hwgat_tpu.serve import Predictor
+
+    path, ds = ckpt
+    pred = Predictor.from_checkpoint(path, model_type="HWGATE", dataset="SYNTH",
+                                     batch_buckets=(2,))
+    rng = np.random.default_rng(3)
+    clips = _clips(ds, 2, rng)
+    want = pred.predict_logits(clips)
+
+    art = str(tmp_path / "hwgate_b2.stablehlo")
+    pred.export_stablehlo(art, batch=2, sample_clip=clips[0])
+    fn = Predictor.load_exported(art)
+
+    xs = np.stack([np.asarray(pred.transform(pred._payload(c)), np.float32)
+                   for c in clips])
+    got = np.asarray(fn(xs))
+    np.testing.assert_allclose(got, want, atol=1e-5)
