@@ -349,6 +349,87 @@ def main():
 
         q = jnp.swapaxes(q.reshape(T, SN, DH), 1, 2).astype(dt)  # (T, DH, SN)
         body = mm
+    elif impl.startswith("mix_"):
+        # Batch-26: MIXED-LAYOUT probes. Batch-22 pinned the fused kernel to
+        # its stream floor (845µs), set by 2× lane padding of minor-dim-64
+        # bf16 streams; the all-transposed layout unpads the streams but lost
+        # (1289µs — schedule stops overlapping). Asymmetric mix: only Q stays
+        # row-major (T,SN,DH) (padded — keeps dot1 the natural nn form and
+        # the masked-softmax schedule IDENTICAL to production), while K, V
+        # stream and O writes transposed (T,DH,SN) — physically unpadded.
+        #   S  = dot_nn(Q, Kᵀ)        (((1,),(0,)) — canonical matmul
+        #   Oᵀ = dot_nt(Vᵀ, A)        (((1,),(1,)) — the form prod dot1 uses
+        # Stream bytes: 5/8 of all-row-major → predicted floor ~530µs.
+        #  mix_floor: zero-compute, exact stream config (the gate).
+        #  mix_mm:    the two MXU dots only.
+        #  mix_fused: full masking/softmax semantics (production-equivalent).
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from sl_hwgat_tpu.ops.pallas_attention import (_masked_attn_matrix,
+                                                       _tile_masks)
+
+        T, SN, DH = units // 4, 128, 64
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "16"))
+        base = impl[4:]
+        allowed_m, fill_m = _tile_masks(np.asarray(adj), 32, 32, 4)
+
+        def dot_nn(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def dot_nt(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        if base == "floor":
+            def kern(q_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    qs = jnp.sum(q_ref[g].astype(jnp.float32))  # forces q load
+                    o_ref[g] = ((kt_ref[g] + vt_ref[g]).astype(jnp.float32)
+                                * qs).astype(jnp.bfloat16)
+        elif base == "mm":
+            def kern(q_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    s = dot_nn(q_ref[g], kt_ref[g])
+                    o_ref[g] = dot_nt(vt_ref[g], s.astype(jnp.bfloat16)
+                                      ).astype(jnp.bfloat16)
+        elif base == "fused":
+            def kern(q_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    q_g = q_ref[g]
+                    s = dot_nn(q_g * jnp.asarray(0.125, q_g.dtype), kt_ref[g])
+                    a, _ = _masked_attn_matrix(s, al_ref[:], fl_ref[:], None, True)
+                    o_ref[g] = dot_nt(vt_ref[g], a.astype(jnp.bfloat16)
+                                      ).astype(jnp.bfloat16)
+        else:
+            raise SystemExit(f"unknown mix probe {impl}")
+
+        tile_q = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        tile_t = pl.BlockSpec((TG, DH, SN), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        mask = pl.BlockSpec((SN, SN), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+        qb = q.reshape(T, SN, DH).astype(jnp.bfloat16)
+        vt0 = jnp.swapaxes(v.reshape(T, SN, DH), 1, 2).astype(jnp.bfloat16)
+        kt0 = jnp.swapaxes(k.reshape(T, SN, DH), 1, 2).astype(jnp.bfloat16)
+
+        def run(kk):
+            # chain on the (T,DH,SN) k stream (output shape matches); q and v
+            # are closure-captured constants — still re-streamed every call.
+            return pl.pallas_call(
+                kern, grid=(T // TG,),
+                in_specs=[tile_q, tile_t, tile_t, mask, mask],
+                out_specs=tile_t,
+                out_shape=jax.ShapeDtypeStruct((T, DH, SN), jnp.bfloat16),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+                interpret=jax.default_backend() != "tpu",
+            )(qb, kk, vt0, jnp.asarray(allowed_m), jnp.asarray(fill_m))
+
+        q = kt0
+        body = run
     elif impl == "lp_fused_bf16":
         # LANE-PACKED TRANSPORT probe: batch-22 showed the fused kernel sits
         # within 2% of its zero-compute stream floor, and streams are 2×

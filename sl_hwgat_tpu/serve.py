@@ -24,6 +24,10 @@ Usage::
 
 from __future__ import annotations
 
+import queue
+import threading
+import time
+from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -166,3 +170,108 @@ class Predictor:
         with open(path, "rb") as f:
             exported = jex.deserialize(f.read())
         return lambda xb: exported.call(jnp.asarray(xb, jnp.float32))
+
+
+class BatchingQueue:
+    """Dynamic request batching for concurrent serving.
+
+    The device wants exactly one in-flight forward with requests coalesced
+    into the largest ready bucket: measured on v5e (COVERAGE.md), a batch-16
+    forward costs 189 ms vs 53 ms at batch 1, so coalescing multiplies
+    throughput ~4.5× under concurrent load while adding at most
+    ``max_wait_ms`` of queueing latency.
+
+    - ``submit(clip)`` → ``Future`` resolving to the clip's logits row. The
+      numpy preprocessing (the Predictor's transform) runs in the CALLER's
+      thread, so it parallelizes across request threads; only the device
+      forward is serialized through the dispatcher.
+    - One dispatcher thread drains the queue: it launches as soon as either
+      ``max_batch`` requests are pending or the oldest has waited
+      ``max_wait_ms``, groups by transformed shape (defensive — one model's
+      eval transform yields one shape), pads to the Predictor's bucket and
+      runs ONE compiled forward per group.
+    - ``close()`` serves everything already submitted, then stops the
+      dispatcher.
+    """
+
+    def __init__(self, predictor: Predictor, max_batch: int = 16,
+                 max_wait_ms: float = 5.0):
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1e3
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._closed = False
+        self.stats = {"requests": 0, "batches": 0, "rows": 0}
+        self._thread = threading.Thread(
+            target=self._loop, name="serve-batcher", daemon=True)
+        self._thread.start()
+
+    # -- API -----------------------------------------------------------------
+    def submit(self, clip) -> Future:
+        if self._closed:
+            raise RuntimeError("BatchingQueue is closed")
+        p = self.predictor
+        x = np.asarray(p.transform(p._payload(clip)), np.float32)
+        fut: Future = Future()
+        self.stats["requests"] += 1
+        self._q.put((x, fut))
+        return fut
+
+    def predict_topk(self, clip, k: int = 5):
+        """Blocking convenience: one clip → (class_ids, softmax_scores)."""
+        logits = self.submit(clip).result()
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits)))
+        idx = np.argsort(-logits)[:k]
+        return idx, probs[idx]
+
+    def close(self) -> None:
+        """Serve all already-submitted requests, then stop the dispatcher."""
+        self._closed = True
+        self._q.put(None)
+        self._thread.join()
+
+    # -- dispatcher ------------------------------------------------------------
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self.max_wait
+            stop = False
+            while len(batch) < self.max_batch and not stop:
+                timeout = deadline - time.monotonic()
+                try:
+                    nxt = (self._q.get_nowait() if timeout <= 0
+                           else self._q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                else:
+                    batch.append(nxt)
+            self._run(batch)
+            if stop:
+                return
+
+    def _run(self, batch) -> None:
+        groups: dict = {}
+        for x, fut in batch:
+            groups.setdefault(x.shape, []).append((x, fut))
+        p = self.predictor
+        for shape, items in groups.items():
+            n = len(items)
+            b = p._bucket(n)
+            xp = np.zeros((b,) + shape, np.float32)
+            xp[:n] = np.stack([x for x, _ in items])
+            try:
+                logits = np.asarray(
+                    p._fn(b, shape)(p.variables, jnp.asarray(xp)))[:n]
+            except Exception as e:  # pragma: no cover - device failure path
+                for _, fut in items:
+                    fut.set_exception(e)
+                continue
+            self.stats["batches"] += 1
+            self.stats["rows"] += n
+            for i, (_, fut) in enumerate(items):
+                fut.set_result(logits[i])

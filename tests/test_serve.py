@@ -68,6 +68,68 @@ def test_padding_does_not_change_results(ckpt):
     np.testing.assert_allclose(partial, full[:2], atol=1e-5)
 
 
+def test_batching_queue_coalesces_and_matches_direct(ckpt):
+    """Concurrent submits coalesce into few device batches; every future's
+    row equals the direct single-clip prediction (padding-invariant)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sl_hwgat_tpu.serve import BatchingQueue, Predictor
+
+    path, ds = ckpt
+    pred = Predictor.from_checkpoint(path, model_type="HWGATE", dataset="SYNTH",
+                                     batch_buckets=(2, 8))
+    q = BatchingQueue(pred, max_batch=8, max_wait_ms=500.0)
+    rng = np.random.default_rng(7)
+    clips = _clips(ds, 6, rng)
+    try:
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            futs = list(ex.map(q.submit, clips))
+        rows = [f.result(timeout=120) for f in futs]
+    finally:
+        q.close()
+    want = pred.predict_logits(clips)
+    for i, row in enumerate(rows):
+        np.testing.assert_allclose(row, want[i], atol=1e-5)
+    assert q.stats["rows"] == 6
+    # 6 near-simultaneous requests inside a 500ms window must coalesce into
+    # fewer forwards than requests (the point of the queue)
+    assert q.stats["batches"] < 6
+
+
+def test_batching_queue_close_serves_pending_then_rejects(ckpt):
+    from sl_hwgat_tpu.serve import BatchingQueue, Predictor
+
+    path, ds = ckpt
+    pred = Predictor.from_checkpoint(path, model_type="HWGATE", dataset="SYNTH",
+                                     batch_buckets=(2,))
+    q = BatchingQueue(pred, max_batch=4, max_wait_ms=1.0)
+    clip = _clips(ds, 1, np.random.default_rng(9))[0]
+    fut = q.submit(clip)
+    q.close()
+    assert fut.result(timeout=120).shape == (ds["num_class"],)
+    with pytest.raises(RuntimeError):
+        q.submit(clip)
+
+
+def test_batching_queue_topk_convenience(ckpt):
+    from sl_hwgat_tpu.serve import BatchingQueue, Predictor
+
+    path, ds = ckpt
+    pred = Predictor.from_checkpoint(path, model_type="HWGATE", dataset="SYNTH",
+                                     batch_buckets=(2,))
+    q = BatchingQueue(pred, max_batch=2, max_wait_ms=1.0)
+    clip = _clips(ds, 1, np.random.default_rng(11))[0]
+    try:
+        ids, scores = q.predict_topk(clip, k=3)
+    finally:
+        q.close()
+    assert ids.shape == (3,) and scores.shape == (3,)
+    assert np.all(scores[:-1] >= scores[1:])
+    direct_ids, direct_scores = pred.predict_topk([clip], k=3)[0]
+    np.testing.assert_array_equal(ids, direct_ids)
+    np.testing.assert_allclose(scores, direct_scores, atol=1e-6)
+
+
 def test_stablehlo_export_roundtrip(ckpt, tmp_path):
     """Exported StableHLO artifact reproduces the Predictor's logits without
     any model code (weights baked into the serialized computation)."""
