@@ -77,6 +77,12 @@ class Loader:
         return -(-len(self.dataset) // self.batch_size)
 
     prefetch: int = 2
+    # auto_warm_next: when an epoch is consumed to the end, immediately
+    # pre-submit the FIRST ``prefetch+1`` batches of epoch+1 on the persistent
+    # pool — their transforms then overlap with whatever the host does between
+    # epochs (validation, checkpointing, curve plotting) instead of starting
+    # cold when the next epoch is requested. Set on the train loader.
+    auto_warm_next: bool = False
 
     def _collect(self, futures):
         samples = [f.result() for f in futures]
@@ -90,29 +96,57 @@ class Loader:
             valid = np.concatenate([valid, np.zeros(pad, np.float32)])
         return feats, labels, valid
 
+    def _pool_get(self) -> ThreadPoolExecutor:
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
+            self._pool = pool
+        return pool
+
+    def _order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(np.random.SeedSequence([self.seed, epoch])).shuffle(order)
+        return order
+
+    def _submit(self, order, s: int, epoch: int):
+        pool = self._pool_get()
+        return [pool.submit(self.dataset.get, int(i), epoch)
+                for i in order[s : s + self.batch_size]]
+
+    def warm(self, epoch: int) -> None:
+        """Pre-submit the first ``prefetch+1`` batches of ``epoch`` (sample
+        order is deterministic in (seed, epoch), so ``epoch()`` later consumes
+        exactly these futures)."""
+        warmed = getattr(self, "_warm", None)
+        if warmed is None:
+            warmed = self._warm = {}
+        if epoch in warmed:
+            return
+        order = self._order(epoch)
+        starts = range(0, len(self.dataset), self.batch_size)
+        k = min(self.prefetch + 1, len(starts))
+        warmed[epoch] = [self._submit(order, s, epoch) for s in list(starts)[:k]]
+
     def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Batches with ``prefetch``-deep pipelining: samples for the next
         batches transform in worker threads while the caller consumes the
         current batch (host-side analogue of double-buffered device feeding)."""
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            np.random.default_rng(np.random.SeedSequence([self.seed, epoch])).shuffle(order)
-
-        bs = self.batch_size
-        starts = list(range(0, n, bs))
-        with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
-            def submit(s):
-                return [pool.submit(self.dataset.get, int(i), epoch) for i in order[s : s + bs]]
-
-            pending = [submit(s) for s in starts[: self.prefetch + 1]]
-            next_submit = min(self.prefetch + 1, len(starts))
-            for _ in starts:
-                futures = pending.pop(0)
-                if next_submit < len(starts):
-                    pending.append(submit(starts[next_submit]))
-                    next_submit += 1
-                yield self._collect(futures)
+        order = self._order(epoch)
+        starts = list(range(0, len(self.dataset), self.batch_size))
+        pending = getattr(self, "_warm", {}).pop(epoch, None)
+        if pending is None:
+            pending = [self._submit(order, s, epoch)
+                       for s in starts[: self.prefetch + 1]]
+        next_submit = min(self.prefetch + 1, len(starts))
+        for _ in starts:
+            futures = pending.pop(0)
+            if next_submit < len(starts):
+                pending.append(self._submit(order, starts[next_submit], epoch))
+                next_submit += 1
+            yield self._collect(futures)
+        if self.auto_warm_next:
+            self.warm(epoch + 1)
 
 
 def load_artifacts(cfg_data):
@@ -143,7 +177,8 @@ def get_loaders(cfg, train_transform, eval_transform):
 
     def mk(split, transform, shuffle):
         ds = KeypointDataset(vid_splits[split], vid_feat, vid_cls, transform, seed=cfg.seed)
-        return Loader(ds, cfg.batch_size, shuffle=shuffle, num_workers=cfg.n_workers, seed=cfg.seed)
+        return Loader(ds, cfg.batch_size, shuffle=shuffle, num_workers=cfg.n_workers,
+                      seed=cfg.seed, auto_warm_next=shuffle)
 
     return (
         mk("train", tt, shuffle=cfg.mode != "test"),

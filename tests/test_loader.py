@@ -47,6 +47,37 @@ def test_shuffle_differs_across_epochs_but_reproducible():
     np.testing.assert_array_equal(l0, l0_again)
 
 
+def test_warm_prefetch_yields_identical_epoch():
+    """warm(e) pre-submits the first batches; a later epoch(e) consumes those
+    futures and the batch stream is identical to an unwarmed loader's."""
+    ds = make_ds(n=10)
+    warmed = Loader(ds, 4, shuffle=True, num_workers=2)
+    warmed.warm(3)
+    assert 3 in warmed._warm and len(warmed._warm[3]) == 3  # prefetch+1
+    got = batches(warmed, epoch=3)
+    assert 3 not in warmed._warm  # consumed
+    want = batches(Loader(ds, 4, shuffle=True, num_workers=2), epoch=3)
+    for (f1, l1, v1), (f2, l2, v2) in zip(got, want):
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(v1, v2)
+
+
+def test_auto_warm_next_after_full_epoch():
+    """auto_warm_next: finishing epoch e pre-submits epoch e+1's first batches
+    (overlapping next-epoch transforms with between-epoch host work)."""
+    ds = make_ds(n=10)
+    ld = Loader(ds, 4, shuffle=True, num_workers=2, auto_warm_next=True)
+    first = batches(ld, epoch=0)
+    assert 1 in ld._warm
+    nxt = batches(ld, epoch=1)
+    want = batches(Loader(ds, 4, shuffle=True, num_workers=2), epoch=1)
+    for (f1, l1, v1), (f2, l2, v2) in zip(nxt, want):
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(l1, l2)
+    assert len(first) == len(nxt) == 3
+
+
 def test_composite_inference_decode():
     from sl_hwgat_tpu.train.inference import decode_classes
 
