@@ -430,6 +430,98 @@ def main():
 
         q = kt0
         body = run
+    elif impl.startswith("tmx_"):
+        # Batch-27: TRANSPOSED-SCORE mixed layout. Batch-26's mix_* showed
+        # the (q rm, k/v/o transposed) config halves the stream floor (463µs)
+        # but its dot2 form dot_nt(Vᵀ, A) needs A (f32, 128²) transposed per
+        # tile — ~660µs of exposed serial work (mm 728 / fused 1134). This
+        # variant computes the score matrix TRANSPOSED so no A-transpose ever
+        # exists:
+        #   Sᵀ = dot_nt(K, Q)        — both row-major; the exact form prod
+        #                              dot1 uses (known fast)
+        #   softmax over SUBLANES (keys are rows of Sᵀ)
+        #   Oᵀ = dot_nn(Vᵀ, Aᵀ)      — K=keys on Aᵀ's sublanes: fully native
+        # Streams: Q, K row-major (padded 2×), Vᵀ + Oᵀ unpadded = 6/8 of
+        # production bytes → predicted floor ~560µs.
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from sl_hwgat_tpu.ops.pallas_attention import _nomax, _tile_masks
+
+        T, SN, DH = units // 4, 128, 64
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "16"))
+        base = impl[4:]
+        allowed_m, fill_m = _tile_masks(np.asarray(adj), 32, 32, 4)
+        allowed_T, fill_T = allowed_m.T.copy(), fill_m.T.copy()
+        nomax = _nomax()
+
+        def dot_nn(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def dot_nt(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def masked_softmax_T(st, allowed_t, fill_t):
+            keep = (allowed_t != 0) & (st != 0)
+            st = jnp.where(keep, st, fill_t)
+            if nomax:
+                a = jnp.exp(st)
+            else:
+                a = jnp.exp(st - jnp.max(st, axis=0, keepdims=True))
+            return a / jnp.sum(a, axis=0, keepdims=True)
+
+        if base == "floor":
+            def kern(q_ref, k_ref, vt_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    qs = jnp.sum(q_ref[g].astype(jnp.float32))
+                    ks = jnp.sum(k_ref[g].astype(jnp.float32))
+                    o_ref[g] = (vt_ref[g].astype(jnp.float32)
+                                * (qs + ks)).astype(jnp.bfloat16)
+        elif base == "mm":
+            def kern(q_ref, k_ref, vt_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    st = dot_nt(k_ref[g], q_ref[g])
+                    o_ref[g] = dot_nn(vt_ref[g], st.astype(jnp.bfloat16)
+                                      ).astype(jnp.bfloat16)
+        elif base == "fused":
+            def kern(q_ref, k_ref, vt_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    qg = q_ref[g]
+                    st = dot_nt(k_ref[g], qg * jnp.asarray(0.125, qg.dtype))
+                    at = masked_softmax_T(st, al_ref[:], fl_ref[:])
+                    o_ref[g] = dot_nn(vt_ref[g], at.astype(jnp.bfloat16)
+                                      ).astype(jnp.bfloat16)
+        else:
+            raise SystemExit(f"unknown tmx probe {impl}")
+
+        _nb = os.environ.get("PALLAS_ATTN_BUFS")
+        _pm = pl.Buffered(buffer_count=int(_nb)) if _nb else None
+        tile_rm = pl.BlockSpec((TG, SN, DH), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM, pipeline_mode=_pm)
+        tile_t = pl.BlockSpec((TG, DH, SN), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM, pipeline_mode=_pm)
+        mask = pl.BlockSpec((SN, SN), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+        qb = q.reshape(T, SN, DH).astype(jnp.bfloat16)
+        kb = k.reshape(T, SN, DH).astype(jnp.bfloat16)
+        vt0 = jnp.swapaxes(v.reshape(T, SN, DH), 1, 2).astype(jnp.bfloat16)
+
+        def run(vv):
+            # chain on the (T,DH,SN) v stream; q/k are captured constants
+            return pl.pallas_call(
+                kern, grid=(T // TG,),
+                in_specs=[tile_rm, tile_rm, tile_t, mask, mask],
+                out_specs=tile_t,
+                out_shape=jax.ShapeDtypeStruct((T, DH, SN), jnp.bfloat16),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+                interpret=jax.default_backend() != "tpu",
+            )(qb, kb, vv, jnp.asarray(allowed_T), jnp.asarray(fill_T))
+
+        q = vt0
+        body = run
     elif impl == "lp_fused_bf16":
         # LANE-PACKED TRANSPORT probe: batch-22 showed the fused kernel sits
         # within 2% of its zero-compute stream floor, and streams are 2×

@@ -63,9 +63,31 @@ def main():
         per = (time.perf_counter() - t0) / reps
         out[str(b)] = round(per * 1e3, 2)
 
+    # Concurrent-load throughput through the BatchingQueue: 64 requests from
+    # 16 client threads — measures what dynamic batching buys over sequential
+    # single-clip calls (out["1"] each).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sl_hwgat_tpu.serve import BatchingQueue
+
+    queue = BatchingQueue(pred, max_batch=16, max_wait_ms=10.0)
+    reqs = [clip() for _ in range(64)]
+    queue.submit(reqs[0]).result()  # warm
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        futs = list(ex.map(queue.submit, reqs))
+    for f in futs:
+        f.result()
+    q_wall = time.perf_counter() - t0
+    queue.close()
+
     print(json.dumps({"impl": "serve", "model": "HWGATE", "dataset": ds_name,
                       "per_bucket_ms": out,
-                      "clips_per_sec_b16": round(16 / (out["16"] / 1e3), 1)}))
+                      "clips_per_sec_b16": round(16 / (out["16"] / 1e3), 1),
+                      "queue_clips_per_sec": round(64 / q_wall, 1),
+                      "queue_batches": queue.stats["batches"],
+                      "queue_speedup_vs_serial_b1": round(
+                          (out["1"] / 1e3) * 64 / q_wall, 2)}))
 
 
 if __name__ == "__main__":

@@ -445,11 +445,24 @@ def _tile_masks(adj, n, np_, stack):
     return allowed, fill
 
 
+def _n_buffers():
+    """Stream buffer depth for the auto pipeline (PALLAS_ATTN_BUFS, default
+    the pipeliner's builtin double buffering). Measured batch-28: see
+    ROADMAP."""
+    import os
+
+    v = os.environ.get("PALLAS_ATTN_BUFS")
+    return int(v) if v else None
+
+
 def _call(kernel, n_out, t, sn, dh, tiles_per_step, args, interpret,
           out_dtype=jnp.float32, dual=False, transposed=False):
     grid = (t // tiles_per_step,)
     blk = (tiles_per_step, dh, sn) if transposed else (tiles_per_step, sn, dh)
-    tile_spec = pl.BlockSpec(blk, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    nbuf = _n_buffers()
+    pmode = None if nbuf is None else pl.Buffered(buffer_count=nbuf)
+    tile_spec = pl.BlockSpec(blk, lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
+                             pipeline_mode=pmode)
     if dual:
         mask_spec = pl.BlockSpec((2, sn, sn), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
