@@ -118,6 +118,33 @@ def main():
         body = lambda qq: pallas_window_attention(
             qq, kp, vp_, adj, scale=0.125, stack=4, transposed="prepacked",
             out_dtype=jnp.bfloat16)
+    elif impl == "pallas_tspre_bf16":
+        # KERNEL-ONLY truth for the transposed-SCORE production path
+        # (transposed="tscore": sublane softmax, Sᵀ in VMEM — the batch-27/28
+        # tmx/tmq schedule as wired into ops/pallas_attention.py).
+        from sl_hwgat_tpu.ops.pallas_attention import _pack_t
+
+        kp = _pack_t(jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16), 32, None, 4)[0]
+        vp_ = _pack_t(jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16), 32, None, 4)[0]
+        q = _pack_t(jnp.swapaxes(q, 1, 2).astype(jnp.bfloat16), 32, None, 4)[0]
+        body = lambda qq: pallas_window_attention(
+            qq, kp, vp_, adj, scale=0.125, stack=4,
+            transposed="tscore_prepacked", out_dtype=jnp.bfloat16)
+    elif impl == "pallas_tsbwd_bf16":
+        # fwd + fused bwd through the transposed-score kernels (packing
+        # relayouts included — the in-graph cost a model would pay unless the
+        # qkv projection emits the transposed layout directly).
+        kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
+        vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
+        q = jnp.swapaxes(q, 1, 2).astype(jnp.bfloat16)
+
+        def fts(qq):
+            o = pallas_window_attention(
+                qq, kt, vt, adj, scale=0.125, stack=4, transposed="tscore",
+                out_dtype=jnp.bfloat16)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        body = lambda qq: jax.grad(fts)(qq)
     elif impl == "pallas_tbwd_bf16":
         kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
         vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
@@ -522,6 +549,94 @@ def main():
 
         q = vt0
         body = run
+    elif impl.startswith("tmq_"):
+        # Batch-28: ALL-UNPADDED transposed-score layout. Combines the two
+        # proven facts: (1) batch-26/27 — transposed (DH, SN) streams are
+        # physically unpadded (mix_floor 463µs at 5/8 bytes, tmx_floor 548µs
+        # at 6/8); (2) batch-27 — the transposed-score schedule (Sᵀ + sublane
+        # softmax + Oᵀ = dot_nn(Vᵀ, Aᵀ)) overlaps VPU work fine (tmx_fused
+        # 813µs, only 265µs over its floor). Here ALL FOUR streams are
+        # (T, DH, SN): 4/8 of production bytes → predicted floor ~410µs.
+        #   Sᵀ[k,q] = Σ_d Kᵀ[d,k]·Qᵀ[d,q] — contract dim 0 of both (the
+        #   dot_tt form, measured at full MXU rate in the tlay probes)
+        #   softmax over SUBLANES, then Oᵀ = dot_nn(Vᵀ, Aᵀ).
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from sl_hwgat_tpu.ops.pallas_attention import _nomax, _tile_masks
+
+        T, SN, DH = units // 4, 128, 64
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "16"))
+        base = impl[4:]
+        allowed_m, fill_m = _tile_masks(np.asarray(adj), 32, 32, 4)
+        allowed_T, fill_T = allowed_m.T.copy(), fill_m.T.copy()
+        nomax = _nomax()
+
+        def dot_tt(a, b):
+            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def dot_nn(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def masked_softmax_T(st, allowed_t, fill_t):
+            keep = (allowed_t != 0) & (st != 0)
+            st = jnp.where(keep, st, fill_t)
+            if nomax:
+                a = jnp.exp(st)
+            else:
+                a = jnp.exp(st - jnp.max(st, axis=0, keepdims=True))
+            return a / jnp.sum(a, axis=0, keepdims=True)
+
+        if base == "floor":
+            def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    qs = jnp.sum(qt_ref[g].astype(jnp.float32))
+                    ks = jnp.sum(kt_ref[g].astype(jnp.float32))
+                    o_ref[g] = (vt_ref[g].astype(jnp.float32)
+                                * (qs + ks)).astype(jnp.bfloat16)
+        elif base == "mm":
+            def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    st = dot_tt(kt_ref[g], qt_ref[g])
+                    o_ref[g] = dot_nn(vt_ref[g], st.astype(jnp.bfloat16)
+                                      ).astype(jnp.bfloat16)
+        elif base == "fused":
+            def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                for g in range(TG):
+                    qg = qt_ref[g]
+                    st = dot_tt(kt_ref[g], qg * jnp.asarray(0.125, qg.dtype))
+                    at = masked_softmax_T(st, al_ref[:], fl_ref[:])
+                    o_ref[g] = dot_nn(vt_ref[g], at.astype(jnp.bfloat16)
+                                      ).astype(jnp.bfloat16)
+        else:
+            raise SystemExit(f"unknown tmq probe {impl}")
+
+        _nb = os.environ.get("PALLAS_ATTN_BUFS")
+        _pm = pl.Buffered(buffer_count=int(_nb)) if _nb else None
+        tile_t = pl.BlockSpec((TG, DH, SN), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM, pipeline_mode=_pm)
+        mask = pl.BlockSpec((SN, SN), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+        qt0 = jnp.swapaxes(q.reshape(T, SN, DH), 1, 2).astype(jnp.bfloat16)
+        kt0 = jnp.swapaxes(k.reshape(T, SN, DH), 1, 2).astype(jnp.bfloat16)
+        vt0 = jnp.swapaxes(v.reshape(T, SN, DH), 1, 2).astype(jnp.bfloat16)
+
+        def run(vv):
+            # chain on the (T,DH,SN) v stream; q/k are captured constants
+            return pl.pallas_call(
+                kern, grid=(T // TG,),
+                in_specs=[tile_t, tile_t, tile_t, mask, mask],
+                out_specs=tile_t,
+                out_shape=jax.ShapeDtypeStruct((T, DH, SN), jnp.bfloat16),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+                interpret=jax.default_backend() != "tpu",
+            )(qt0, kt0, vv, jnp.asarray(allowed_T), jnp.asarray(fill_T))
+
+        q = vt0
+        body = run
     elif impl == "lp_fused_bf16":
         # LANE-PACKED TRANSPORT probe: batch-22 showed the fused kernel sits
         # within 2% of its zero-compute stream floor, and streams are 2×
@@ -783,6 +898,65 @@ def main():
         for _ in range(outer):
             y = loopb(y)
         float(jnp.sum(y))
+        per_op = (time.perf_counter() - t0) / (outer * inner)
+        print(json.dumps({"impl": impl, "time_us": per_op * 1e6,
+                          "edges": nnz,
+                          "edges_per_sec": nnz / per_op}))
+        return
+    elif impl.startswith("ell_"):
+        # GATE-shape TRUE gather/scatter ELL attention (edge-space SDDMM +
+        # edge softmax + gather-SpMM, `ops/sparse_attention.py`) on the SAME
+        # spatio-temporal topology the banded op covers: F·V = 5568 nodes,
+        # neighbors = same-frame spatial edges + self + ±1-frame same-joint.
+        # Head-to-head with `banded_xla` (3303µs fwd f32 on this chip) to
+        # settle the sparse-regime policy with on-chip data (VERDICT item 4).
+        from sl_hwgat_tpu.graphs.adjacency import dense_to_ell
+        from sl_hwgat_tpu.graphs.skeleton import BODY29_EDGES, edges_to_dense
+        from sl_hwgat_tpu.ops.sparse_attention import ell_graph_attention
+
+        B, H, F, V, DH = 16, 8, 192, 29, 16
+        T = F * V
+        spatial = edges_to_dense(BODY29_EDGES, V, self_loops=False)
+        dense = np.zeros((T, T), np.float32)
+        for f in range(F):
+            s = slice(f * V, (f + 1) * V)
+            dense[s, s] = spatial
+            if f > 0:
+                p = slice((f - 1) * V, f * V)
+                dense[s, p] = np.eye(V)
+                dense[p, s] = np.eye(V)
+        col_idx, valid = dense_to_ell(dense)
+        nnz = B * H * int(valid.sum())
+
+        rb = np.random.default_rng(1)
+        dt = jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
+        qe, ke, ve = (
+            jnp.asarray(rb.normal(size=(B, H, T, DH)).astype(np.float32)).astype(dt)
+            for _ in range(3)
+        )
+        colj, valj = jnp.asarray(col_idx), jnp.asarray(valid)
+
+        def attn(qq):
+            return ell_graph_attention(qq, ke, ve, colj, valj, scale=0.25)
+
+        if "bwd" in impl:
+            fb = lambda qq: jnp.sum(attn(qq) ** 2)
+            inner_body = lambda qq: jax.grad(fb)(qq).astype(dt)
+        else:
+            inner_body = lambda qq: attn(qq).astype(dt)
+
+        inner, outer = 20, 3
+
+        @jax.jit
+        def loope(x):
+            return jax.lax.fori_loop(0, inner, lambda i, y: inner_body(y), x)
+
+        y = loope(qe)
+        float(jnp.sum(y.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(outer):
+            y = loope(y)
+        float(jnp.sum(y.astype(jnp.float32)))
         per_op = (time.perf_counter() - t0) / (outer * inner)
         print(json.dumps({"impl": impl, "time_us": per_op * 1e6,
                           "edges": nnz,

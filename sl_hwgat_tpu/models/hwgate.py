@@ -148,9 +148,13 @@ class WindowedMSA(nn.Module):
         # and stacked/hybrid impls stay row-major).
         import os
 
+        # PALLAS_ATTN_TRANSPOSED: "1" = lane-softmax transposed kernel,
+        # "tscore" = transposed-score (sublane-softmax) kernel — see
+        # ops/pallas_attention.py::_fwd_kernel_ts.
+        t_env = os.environ.get("PALLAS_ATTN_TRANSPOSED", "0")
         use_t = (
             impl == "pallas"
-            and os.environ.get("PALLAS_ATTN_TRANSPOSED", "0") == "1"
+            and t_env in ("1", "tscore")
             and (self.tail_shift_mask is None
                  or head_major
                  or (self.windows_per_frame * h) % stack0 == 0)
@@ -198,7 +202,7 @@ class WindowedMSA(nn.Module):
                 # right after anyway (rounding moves into the kernel store).
                 kw["out_dtype"] = jnp.bfloat16
             if use_t:
-                kw["transposed"] = True
+                kw["transposed"] = "tscore" if t_env == "tscore" else True
             out = kernel_sharding.call_sharded(qu, ku, vu, mask, impl=impl,
                                                head_major=head_major, **kw)
             if out is None:

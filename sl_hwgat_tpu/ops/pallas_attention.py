@@ -63,6 +63,27 @@ def _masked_attn_matrix(s, allowed, fill, prune_u, zero_quirk):
     return a / jnp.sum(a, axis=-1, keepdims=True), s
 
 
+def _masked_attn_matrix_ts(st, allowed_t, fill_t, prune_u, zero_quirk):
+    """Transposed-SCORE twin of ``_masked_attn_matrix``: the score matrix is
+    stored (keys, queries) so every softmax reduction runs over SUBLANES
+    (axis 0). Mask planes arrive pre-transposed (built in ``_attention_fwd``).
+    Semantics are otherwise identical — the reference softmax is over keys,
+    which are the rows here."""
+    if prune_u is not None:
+        unit = fill_t == jnp.float32(NEG)
+        s_iso = jnp.where(unit, st, jnp.float32(UNIT_NEG))
+        prob = jnp.exp(s_iso - jnp.max(s_iso, axis=0, keepdims=True))
+        prob = prob / jnp.sum(prob, axis=0, keepdims=True)
+        st = jnp.where(prob > prune_u, 0.0, st)
+    keep = (allowed_t != 0) & (st != 0) if zero_quirk else (allowed_t != 0)
+    st = jnp.where(keep, st, fill_t)
+    if _nomax():
+        a = jnp.exp(st)
+        return a / jnp.sum(a, axis=0, keepdims=True), st
+    a = jnp.exp(st - jnp.max(st, axis=0, keepdims=True))
+    return a / jnp.sum(a, axis=0, keepdims=True), st
+
+
 def _compact_diag(x, stack, np_):
     """(SN, SN) → (stack, np_, np_) diagonal (within-unit) blocks via static
     slices — cheap VPU moves, no gathers."""
@@ -400,6 +421,77 @@ def _bwd_kernel_t(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref,
     _tile_loop(body, tiles_per_step)
 
 
+def _fwd_kernel_ts(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref,
+                   o_ref, *, scale, zero_quirk, prune, tiles_per_step, dual):
+    """Transposed-score forward (the batch-27/28 'tmx/tmq' schedule): streams
+    are (TG, DH, SN) like ``_fwd_kernel_t``, but the score matrix is computed
+    TRANSPOSED — Sᵀ[k,q] = Σ_d Kᵀ[d,k]·Qᵀ[d,q] (keys on sublanes) — so the
+    softmax reduces over sublanes and the aggregation is the fully-native
+    Oᵀ = Vᵀ Aᵀ (dim1×dim0). Measured (tools/kernel_batch27/28): unlike the
+    lane-softmax transposed schedule (1289µs), this one keeps VPU/MXU overlap
+    while its streams stay physically unpadded."""
+    pu = u_ref[0] if prune else None
+
+    def body(g, _):
+        allowed_t, fill_t = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref,
+                                            dual, tiles_per_step)
+        q = q_ref[g]  # (DH, SN)
+        st = jax.lax.dot_general(
+            k_ref[g], q * jnp.asarray(scale, q.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        at, _ = _masked_attn_matrix_ts(st, allowed_t, fill_t, pu, zero_quirk)
+        v = v_ref[g]
+        o_ref[g] = jax.lax.dot_general(
+            v, at.astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        return 0
+
+    _tile_loop(body, tiles_per_step)
+
+
+def _bwd_kernel_ts(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref,
+                   fill_ref, dq_ref, dk_ref, dv_ref, *, scale, zero_quirk,
+                   prune, tiles_per_step, dual):
+    """Transposed-score backward; every gradient contraction keeps a natural
+    (DH, SN)-minor form with the transposed probability plane Aᵀ:
+      dVᵀ = dOᵀ Aᵀᵀ  (dim1×dim1) ; dAᵀ = Vᵀᵀ dOᵀ (dim0×dim0)
+      dQᵀ = Kᵀ dSᵀ   (dim1×dim0) ; dKᵀ = Qᵀ dSᵀᵀ (dim1×dim1)
+    and the softmax-grad row sums reduce over sublanes (keys)."""
+    pu = u_ref[0] if prune else None
+
+    def body(g, _):
+        allowed_t, fill_t = _tile_masks_for(g, sel_ref, allowed_ref, fill_ref,
+                                            dual, tiles_per_step)
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        dt = q.dtype
+        do = do_ref[g].astype(dt)  # (DH, SN_q)
+        st = jax.lax.dot_general(
+            k, q * jnp.asarray(scale, dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        at, st_masked = _masked_attn_matrix_ts(st, allowed_t, fill_t, pu,
+                                               zero_quirk)
+        at_lp = at.astype(dt)
+        dv_ref[g] = jax.lax.dot_general(
+            do, at_lp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)  # (DH, SN_k)
+        dat = jax.lax.dot_general(
+            v, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (SN_k, SN_q)
+        dst = at * (dat - jnp.sum(dat * at, axis=0, keepdims=True))
+        dst = (dst * (st_masked == st).astype(jnp.float32)).astype(dt)
+        dq_ref[g] = (jax.lax.dot_general(
+            k, dst, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dt)
+        dk_ref[g] = (jax.lax.dot_general(
+            q, dst, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dt)
+        return 0
+
+    _tile_loop(body, tiles_per_step)
+
+
 def _pack_t(x, n, pad_tokens, stack):
     """(U, dh, N) → (T, dh, SN): pad tokens, then lay a supertile's ``stack``
     units side-by-side along lanes (token j of in-tile unit s at lane
@@ -550,7 +642,8 @@ def _attention(q, k, v, u_val, sel, prune, adj_key, scale, stack, pad_tokens,
 def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
                    pad_tokens, zero_quirk_tail):
     zero_quirk, tail, out_dtype, transposed = zero_quirk_tail
-    if transposed == "prepacked":
+    tscore = transposed in ("tscore", "tscore_prepacked")
+    if transposed in ("prepacked", "tscore_prepacked"):
         t, dh, sn = q.shape
         np_ = sn // stack
         n = np_ if pad_tokens is None else -1  # caller guarantees no padding
@@ -564,11 +657,16 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
         u_units, n, dh = q.shape
         (qs, ks, vs), t, sn, np_ = _pad_stack(q, k, v, n, pad_tokens, stack)
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
+    if tscore:  # the kernel consumes transposed (keys, queries) mask planes
+        allowed_m = np.swapaxes(allowed_m, -1, -2).copy()
+        fill_m = np.swapaxes(fill_m, -1, -2).copy()
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
     # Batched + dual is rejected by Mosaic (i1 vector reshape in the per-tile
     # mask select, kernel_batch4: dual_batched failed) — and the batched
     # variant measured neutral anyway; keep the validated unrolled path there.
-    if transposed:
+    if tscore:
+        base_kern = _fwd_kernel_ts
+    elif transposed:
         base_kern = _fwd_kernel_t
     elif _batched() and not dual:
         base_kern = _fwd_kernel_batched
@@ -582,9 +680,9 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
         kern, 1, t, sn, dh, tiles_per_step,
         (u_val, sel, qs, ks, vs, jnp.asarray(allowed_m), jnp.asarray(fill_m)),
         _interpret(), out_dtype=jnp.dtype(out_dtype), dual=dual,
-        transposed=transposed,
+        transposed=bool(transposed),
     )
-    if transposed == "prepacked":
+    if transposed in ("prepacked", "tscore_prepacked"):
         out = o
     elif transposed:
         out = _unpack_t(o, u_units, n, np_, stack, dh)
@@ -596,8 +694,9 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
 def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
                    res, g):
     zero_quirk, tail, _, transposed = zero_quirk_tail
+    tscore = transposed in ("tscore", "tscore_prepacked")
     q, k, v, u_val, sel = res
-    if transposed == "prepacked":
+    if transposed in ("prepacked", "tscore_prepacked"):
         raise NotImplementedError("prepacked is a forward-only bench mode")
     if transposed:
         u_units, dh, n = q.shape
@@ -610,8 +709,13 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
             g = jnp.pad(g, [(0, 0), (0, np_ - n), (0, 0)])
         gs = g.reshape(t, sn, dh)
     allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
+    if tscore:
+        allowed_m = np.swapaxes(allowed_m, -1, -2).copy()
+        fill_m = np.swapaxes(fill_m, -1, -2).copy()
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
-    if transposed:
+    if tscore:
+        base_kern = _bwd_kernel_ts
+    elif transposed:
         base_kern = _bwd_kernel_t
     elif _batched() and not dual:
         base_kern = _bwd_kernel_batched
@@ -625,7 +729,7 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
         kern, 3, t, sn, dh, tiles_per_step,
         (u_val, sel, qs, ks, vs, gs, jnp.asarray(allowed_m),
          jnp.asarray(fill_m)),
-        _interpret(), out_dtype=q.dtype, dual=dual, transposed=transposed,
+        _interpret(), out_dtype=q.dtype, dual=dual, transposed=bool(transposed),
     )
 
     if transposed:
@@ -682,7 +786,7 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
                             groups: int | None = None,
                             unit_offset=None,
                             out_dtype=None,
-                            transposed: bool = False):
+                            transposed: bool | str = False):
     """Drop-in fused replacement for ``stacked_window_attention``.
 
     q, k, v: (U, N, dh) float32; ``adj``: static (N, N) {0,1} numpy mask.
@@ -703,7 +807,8 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
         tail = (_cache_adj(tail_adj), int(units_per_group), int(groups))
     prune = prune_u is not None
     u_val = jnp.asarray([prune_u if prune else 0.0], jnp.float32)
-    n_units = q.shape[0] * (stack if transposed == "prepacked" else 1)
+    n_units = q.shape[0] * (
+        stack if transposed in ("prepacked", "tscore_prepacked") else 1)
     sel = _make_sel(n_units // stack, stack, tail, unit_offset)
     # out_dtype (default f32): bf16 halves the kernel's HBM write traffic —
     # MXU accumulation stays f32, rounding happens only on the final store.
@@ -712,5 +817,5 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
     return _attention(q, k, v, u_val, sel, prune, key, float(scale), int(stack),
                       pad_tokens,
                       (bool(zero_quirk), tail, str(np.dtype(od)),
-                       transposed if transposed == "prepacked"
+                       transposed if isinstance(transposed, str)
                        else bool(transposed)))

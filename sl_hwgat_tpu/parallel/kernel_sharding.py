@@ -73,7 +73,7 @@ def tp_size() -> int:
 def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
                  tail_adj=None, units_per_group=None, groups=None,
                  impl: str = "pallas", head_major: bool = False,
-                 out_dtype=None, transposed: bool = False):
+                 out_dtype=None, transposed: bool | str = False):
     """Run the fused kernel per-shard if a context is active and the unit axis
     divides evenly; return None when not applicable (caller falls back).
     ``impl``: 'pallas' (fully-fused kernel) or 'hybrid' (XLA GEMMs + fused
@@ -106,7 +106,7 @@ def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
         if out_dtype is not None:
             extra["out_dtype"] = out_dtype
         if transposed:
-            extra["transposed"] = True
+            extra["transposed"] = transposed if isinstance(transposed, str) else True
 
     sizes = [mesh.shape[a] for a in axes]
     has_prune = prune_u is not None

@@ -205,6 +205,105 @@ class TestTransposedLayout:
             np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
 
 
+class TestTransposedScore:
+    """Transposed-SCORE kernel (``transposed="tscore"``: (U, dh, N) operands,
+    Sᵀ in VMEM, sublane softmax) must match the row-major kernel exactly —
+    forward, dual-mask, prune, grads, token padding."""
+
+    def _qkv(self, u=32, n=32, dh=16, seed=9):
+        r = np.random.default_rng(seed)
+        return tuple(
+            jnp.asarray(r.normal(size=(u, n, dh)).astype(np.float32))
+            for _ in range(3)
+        )
+
+    def test_forward_matches_rowmajor(self):
+        q, k, v = self._qkv()
+        want = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4)
+        got = pallas_window_attention(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)), ADJ32,
+            scale=0.25, stack=4, transposed="tscore")
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
+
+    def test_dual_mask_and_prune_match(self):
+        q, k, v = self._qkv(u=48, seed=10)
+        r = np.random.default_rng(3)
+        tail = ADJ32 * (r.random(ADJ32.shape) > 0.3)
+        kw = dict(scale=0.25, stack=4, tail_adj=tail, units_per_group=8,
+                  groups=3, prune_u=0.4)
+        want = pallas_window_attention(q, k, v, ADJ32, **kw)
+        got = pallas_window_attention(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)), ADJ32,
+            transposed="tscore", **kw)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
+
+    def test_gradients_match_rowmajor(self):
+        q, k, v = self._qkv(seed=11)
+
+        def loss_rm(q, k, v):
+            o = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4)
+            return jnp.sum(jnp.sin(o))
+
+        def loss_t(qt, kt, vt):
+            o = pallas_window_attention(qt, kt, vt, ADJ32, scale=0.25, stack=4,
+                                        transposed="tscore")
+            return jnp.sum(jnp.sin(jnp.swapaxes(o, 1, 2)))
+
+        want = jax.grad(loss_rm, argnums=(0, 1, 2))(q, k, v)
+        got = jax.grad(loss_t, argnums=(0, 1, 2))(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)))
+        for name, w, g in zip("qkv", want, got):
+            np.testing.assert_allclose(
+                np.asarray(jnp.swapaxes(g, 1, 2)), np.asarray(w), atol=2e-5,
+                err_msg=name)
+
+    def test_token_padding(self):
+        q, k, v = self._qkv(n=24, seed=12)
+        want = pallas_window_attention(q, k, v, ADJ32[:24, :24], scale=0.25,
+                                       stack=4, pad_tokens=32)
+        got = pallas_window_attention(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)), ADJ32[:24, :24],
+            scale=0.25, stack=4, pad_tokens=32, transposed="tscore")
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
+
+    def test_bf16_store_matches(self):
+        q, k, v = self._qkv(seed=13)
+        want = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4,
+                                       out_dtype=jnp.bfloat16)
+        got = pallas_window_attention(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)), ADJ32,
+            scale=0.25, stack=4, out_dtype=jnp.bfloat16, transposed="tscore")
+        # one bf16 ulp: the two schedules' f32 accumulations agree to ~2e-7
+        # but can round to adjacent bf16 values on exact ties
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(got, 1, 2)).astype(np.float32),
+            np.asarray(want).astype(np.float32), atol=4e-3)
+
+
+@pytest.mark.slow
+def test_full_model_tscore_layout_matches(monkeypatch):
+    """PALLAS_ATTN_TRANSPOSED=tscore: the full HWGATE forward through the
+    transposed-score kernel (incl. dual-mask stages) matches the default."""
+    from sl_hwgat_tpu.models.hwgate import HWGATE
+
+    model = HWGATE(
+        kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
+        depths=(1, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
+        attn_impl="pallas",
+    )
+    r = np.random.default_rng(22)
+    x = jnp.asarray(r.normal(size=(2, 16, 64, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, train=False)
+
+    monkeypatch.setenv("PALLAS_ATTN_TRANSPOSED", "tscore")
+    got = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 @pytest.mark.slow
 def test_full_model_transposed_layout_matches(monkeypatch):
     """PALLAS_ATTN_TRANSPOSED=1: the full HWGATE forward through the
