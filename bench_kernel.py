@@ -589,6 +589,21 @@ def main():
                 a = jnp.exp(st - jnp.max(st, axis=0, keepdims=True))
             return a / jnp.sum(a, axis=0, keepdims=True)
 
+        def bdot(a, b, ca, cb):
+            return jax.lax.dot_general(
+                a, b, (((ca,), (cb,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        def masked_softmax_Tb(st, allowed_t, fill_t):
+            # batched (TG, SN_k, SN_q): keys on axis 1
+            keep = (allowed_t[None] != 0) & (st != 0)
+            st = jnp.where(keep, st, fill_t[None])
+            if nomax:
+                a = jnp.exp(st)
+            else:
+                a = jnp.exp(st - jnp.max(st, axis=1, keepdims=True))
+            return a / jnp.sum(a, axis=1, keepdims=True)
+
         if base == "floor":
             def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
                 for g in range(TG):
@@ -596,6 +611,23 @@ def main():
                     ks = jnp.sum(kt_ref[g].astype(jnp.float32))
                     o_ref[g] = (vt_ref[g].astype(jnp.float32)
                                 * (qs + ks)).astype(jnp.bfloat16)
+        elif base == "bmm":
+            # BATCHED MXU issue over the whole block: in the unpadded layout
+            # the kernel is COMPUTE-bound (streams 415µs < MXU 477µs at the
+            # XLA shape rate), so Mosaic's per-tile issue gap (~200µs,
+            # tmq_mm 694µs) is now the long pole — one batched dot_general
+            # per block is exactly the form the 477µs XLA calib uses.
+            def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                st = bdot(kt_ref[:], qt_ref[:], 1, 1)       # (TG, SNk, SNq)
+                o_ref[:] = bdot(vt_ref[:], st.astype(jnp.bfloat16),
+                                2, 1).astype(jnp.bfloat16)  # (TG, DH, SNq)
+        elif base == "bfused":
+            def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                q = qt_ref[:]
+                st = bdot(kt_ref[:], q * jnp.asarray(0.125, q.dtype), 1, 1)
+                at = masked_softmax_Tb(st, al_ref[:], fl_ref[:])
+                o_ref[:] = bdot(vt_ref[:], at.astype(jnp.bfloat16),
+                                2, 1).astype(jnp.bfloat16)
         elif base == "mm":
             def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
                 for g in range(TG):

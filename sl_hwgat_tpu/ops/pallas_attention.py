@@ -421,6 +421,68 @@ def _bwd_kernel_t(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref,
     _tile_loop(body, tiles_per_step)
 
 
+def _masked_attn_matrix_tsb(st, allowed_t, fill_t, prune_u, zero_quirk):
+    """Batched (TG, SN_k, SN_q) twin of ``_masked_attn_matrix_ts``: keys on
+    axis 1; single-mask planes broadcast over the tile axis."""
+    al = allowed_t[None]
+    fl = fill_t[None]
+    if prune_u is not None:
+        unit = fl == jnp.float32(NEG)
+        s_iso = jnp.where(unit, st, jnp.float32(UNIT_NEG))
+        prob = jnp.exp(s_iso - jnp.max(s_iso, axis=1, keepdims=True))
+        prob = prob / jnp.sum(prob, axis=1, keepdims=True)
+        st = jnp.where(prob > prune_u, 0.0, st)
+    keep = (al != 0) & (st != 0) if zero_quirk else (al != 0)
+    st = jnp.where(keep, st, fl)
+    if _nomax():
+        a = jnp.exp(st)
+        return a / jnp.sum(a, axis=1, keepdims=True), st
+    a = jnp.exp(st - jnp.max(st, axis=1, keepdims=True))
+    return a / jnp.sum(a, axis=1, keepdims=True), st
+
+
+def _fwd_kernel_ts_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref,
+                           fill_ref, o_ref, *, scale, zero_quirk, prune,
+                           tiles_per_step, dual):
+    """Batched transposed-score forward: ONE batched dot_general per block
+    for Sᵀ and one for Oᵀ (the exact form of the 477µs XLA shape calib).
+    Rationale: in the all-unpadded layout the kernel is COMPUTE-bound
+    (stream floor 415µs < MXU 477µs at the XLA rate), so Mosaic's per-tile
+    MXU issue gap — invisible in the stream-bound row-major kernel where the
+    batched variant measured neutral — becomes the long pole. Single-mask
+    only (batched + dual is rejected by Mosaic, kernel_batch4)."""
+    pu = u_ref[0] if prune else None
+    q = q_ref[:]
+    st = _bdot(k_ref[:], q * jnp.asarray(scale, q.dtype), 1, 1)  # (TG,SNk,SNq)
+    at, _ = _masked_attn_matrix_tsb(st, allowed_ref[:], fill_ref[:], pu,
+                                    zero_quirk)
+    v = v_ref[:]
+    o_ref[:] = _bdot(v, at.astype(v.dtype), 2, 1).astype(o_ref.dtype)
+
+
+def _bwd_kernel_ts_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref,
+                           allowed_ref, fill_ref, dq_ref, dk_ref, dv_ref, *,
+                           scale, zero_quirk, prune, tiles_per_step, dual):
+    """Batched transposed-score backward (single-mask): every contraction is
+    one batched dot_general over the block's tile axis."""
+    pu = u_ref[0] if prune else None
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    dt = q.dtype
+    do = do_ref[:].astype(dt)  # (TG, DH, SN_q)
+    st = _bdot(k, q * jnp.asarray(scale, dt), 1, 1)
+    at, st_masked = _masked_attn_matrix_tsb(st, allowed_ref[:], fill_ref[:],
+                                            pu, zero_quirk)
+    at_lp = at.astype(dt)
+    dv_ref[:] = _bdot(do, at_lp, 2, 2).astype(dt)          # (TG, DH, SN_k)
+    dat = _bdot(v, do, 1, 1)                               # (TG, SN_k, SN_q)
+    dst = at * (dat - jnp.sum(dat * at, axis=1, keepdims=True))
+    dst = (dst * (st_masked == st).astype(jnp.float32)).astype(dt)
+    dq_ref[:] = (_bdot(k, dst, 2, 1) * scale).astype(dt)   # (TG, DH, SN_q)
+    dk_ref[:] = (_bdot(q, dst, 2, 2) * scale).astype(dt)   # (TG, DH, SN_k)
+
+
 def _fwd_kernel_ts(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref,
                    o_ref, *, scale, zero_quirk, prune, tiles_per_step, dual):
     """Transposed-score forward (the batch-27/28 'tmx/tmq' schedule): streams
@@ -665,7 +727,8 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
     # mask select, kernel_batch4: dual_batched failed) — and the batched
     # variant measured neutral anyway; keep the validated unrolled path there.
     if tscore:
-        base_kern = _fwd_kernel_ts
+        base_kern = (_fwd_kernel_ts_batched if _batched() and not dual
+                     else _fwd_kernel_ts)
     elif transposed:
         base_kern = _fwd_kernel_t
     elif _batched() and not dual:
@@ -714,7 +777,8 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
         fill_m = np.swapaxes(fill_m, -1, -2).copy()
     tiles_per_step = _pick_tiles_per_step(t, sn, dh)
     if tscore:
-        base_kern = _bwd_kernel_ts
+        base_kern = (_bwd_kernel_ts_batched if _batched() and not dual
+                     else _bwd_kernel_ts)
     elif transposed:
         base_kern = _bwd_kernel_t
     elif _batched() and not dual:

@@ -269,6 +269,31 @@ class TestTransposedScore:
         np.testing.assert_allclose(
             np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=1e-5)
 
+    def test_batched_variant_matches(self, monkeypatch):
+        # PALLAS_ATTN_BATCHED=1 + tscore → _fwd/_bwd_kernel_ts_batched
+        monkeypatch.setenv("PALLAS_ATTN_BATCHED", "1")
+        q, k, v = self._qkv(seed=14)
+
+        def loss_rm(q, k, v):
+            o = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4,
+                                        prune_u=0.4)
+            return jnp.sum(jnp.sin(o))
+
+        def loss_t(qt, kt, vt):
+            o = pallas_window_attention(qt, kt, vt, ADJ32, scale=0.25, stack=4,
+                                        prune_u=0.4, transposed="tscore")
+            return jnp.sum(jnp.sin(jnp.swapaxes(o, 1, 2)))
+
+        want, wg = jax.value_and_grad(loss_rm, argnums=(0, 1, 2))(q, k, v)
+        got, gg = jax.value_and_grad(loss_t, argnums=(0, 1, 2))(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v)))
+        # scalar loss sums 16k f32 terms — accumulation order differs
+        np.testing.assert_allclose(float(got), float(want), atol=1e-3)
+        for name, w, g in zip("qkv", wg, gg):
+            np.testing.assert_allclose(
+                np.asarray(jnp.swapaxes(g, 1, 2)), np.asarray(w), atol=2e-5,
+                err_msg=name)
+
     def test_bf16_store_matches(self):
         q, k, v = self._qkv(seed=13)
         want = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4,
