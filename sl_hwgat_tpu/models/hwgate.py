@@ -122,25 +122,27 @@ class WindowedMSA(nn.Module):
             # via attn_impl='hybrid' / --attn-impl.
             impl = "pallas" if jax.default_backend() == "tpu" else "stacked"
 
-        qkv = nn.Dense(3 * d, kernel_init=DENSE_INIT, dtype=cdt, name="qkv")(x)
-        qkv = qkv.reshape(g, n, 3, h, dh).transpose(2, 0, 3, 1, 4)  # (3, G, H, N, dh)
+        # Separate q/k/v projections instead of a fused (d, 3d) qkv Dense:
+        # each kernel's output features are HEAD-MAJOR (h, dh), so a Megatron
+        # column split P(None, 'tp') lands exactly on head groups and stays
+        # expressible through every reshape down to the kernel call — the
+        # fused layout's (3, h, dh) column order makes the tp split cross the
+        # q/k boundary, which GSPMD can only fix by replicating (involuntary
+        # full remat at every stage-2 block, VERDICT r2 item 2).
+        qh = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="q")(x)
+        kh = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="k")(x)
+        vh = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="v")(x)
+        qh, kh, vh = (t.reshape(g, n, h, dh) for t in (qh, kh, vh))
 
-        # Unit order. Default: (b, f, nW, h) head-minor (matches the split
-        # formulation). Under a kernel-sharding context with a tp axis, go
-        # HEAD-MAJOR (h, b, f, nW) so a contiguous unit split shards heads
-        # across tp instead of replicating attention compute — requires
-        # h % tp == 0 and (dual-mask mode) whole supertiles per temporal
-        # group at the finer head-major period.
         from sl_hwgat_tpu.parallel import kernel_sharding
 
         stack0, _ = _supertile_stack(n)
         tp = kernel_sharding.tp_size()
-        head_major = (
-            impl in ("pallas", "hybrid")
-            and tp > 1 and h % tp == 0
-            and (self.tail_shift_mask is None
-                 or self.windows_per_frame % stack0 == 0)
-        )
+        # Factored sharding: arrays stay 4-D (h, g, n, dh); tp splits heads,
+        # dp/sp split groups — zero-movement entry into the shard_map (the
+        # flat head-major contiguous split it replaces put EVERY mesh axis on
+        # the head axis at stage 2 and forced a replicate+slice of q/k/v).
+        factored = impl == "pallas" and tp > 1 and h % tp == 0
         # Transposed kernel layout (U, dh, N): minor dim 128 — removes the
         # 2× lane padding of (N, dh=64) blocks (see ops/pallas_attention.py
         # ::_fwd_kernel_t). The qkv relayout costs the same either way.
@@ -154,22 +156,21 @@ class WindowedMSA(nn.Module):
         t_env = os.environ.get("PALLAS_ATTN_TRANSPOSED", "0")
         use_t = (
             impl == "pallas"
+            and not factored
             and t_env in ("1", "tscore")
             and (self.tail_shift_mask is None
-                 or head_major
                  or (self.windows_per_frame * h) % stack0 == 0)
         )
-        if head_major:
-            perm, shp = (1, 0, 3, 2), (h * g, dh, n)
-            if not use_t:
-                perm, shp = (1, 0, 2, 3), (h * g, n, dh)
-            q, k, v = (t.transpose(perm).reshape(shp)
-                       for t in (qkv[0], qkv[1], qkv[2]))
+        if factored:
+            q, k, v = (t.transpose(2, 0, 1, 3) for t in (qh, kh, vh))  # (H,G,N,dh)
         elif use_t:
-            q, k, v = (t.transpose(0, 1, 3, 2).reshape(g * h, dh, n)
-                       for t in (qkv[0], qkv[1], qkv[2]))
+            q, k, v = (t.transpose(0, 2, 3, 1).reshape(g * h, dh, n)
+                       for t in (qh, kh, vh))
         else:
-            q, k, v = (t.reshape(g * h, n, dh) for t in (qkv[0], qkv[1], qkv[2]))
+            # head-minor unit order (b, f, nW, h): contiguous dp/sp splits
+            # land on batch/frames, aligned with the producer sharding
+            q, k, v = (t.transpose(0, 2, 1, 3).reshape(g * h, n, dh)
+                       for t in (qh, kh, vh))
         if attn_bf16:
             q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
         elif q.dtype != jnp.float32:
@@ -185,6 +186,33 @@ class WindowedMSA(nn.Module):
 
         stack, pad = _supertile_stack(n)
         adj = np.asarray(self.adj, dtype=np.float32)  # static: baked into the kernel
+        nw = self.windows_per_frame
+        f = self.temporal_groups
+        tail_adj = None
+        if self.tail_shift_mask is not None:
+            tail_adj = adj * np.asarray(self.tail_shift_mask, dtype=np.float32)
+
+        if factored:
+            # 4-D (H, G, N, dh) arrays: tp shards heads, dp/sp shard groups —
+            # zero-movement shard_map entry (see kernel_sharding.call_factored)
+            kwf = dict(scale=scale, stack=stack, pad_tokens=pad, prune_u=prune_u,
+                       out_dtype=jnp.bfloat16 if attn_bf16 else None)
+            if tail_adj is not None:
+                kwf.update(tail_adj=tail_adj, units_per_group=nw, groups=f)
+            out = kernel_sharding.call_factored(q, k, v, adj, **kwf)
+            if out is not None:
+                out = out.astype(cdt).transpose(1, 2, 0, 3).reshape(g, n, d)
+                out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)
+                return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+            # context/shape made the factored split inapplicable — fall back
+            # to the flat head-minor unit order
+            factored = False
+            q, k, v = (t.transpose(0, 2, 1, 3).reshape(g * h, n, dh)
+                       for t in (qh, kh, vh))
+            if attn_bf16:
+                q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+            elif q.dtype != jnp.float32:
+                q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
 
         def fused(qu, ku, vu, mask, **tail_kw):
             """Fused attention — per-shard under shard_map when a
@@ -203,8 +231,7 @@ class WindowedMSA(nn.Module):
                 kw["out_dtype"] = jnp.bfloat16
             if use_t:
                 kw["transposed"] = "tscore" if t_env == "tscore" else True
-            out = kernel_sharding.call_sharded(qu, ku, vu, mask, impl=impl,
-                                               head_major=head_major, **kw)
+            out = kernel_sharding.call_sharded(qu, ku, vu, mask, impl=impl, **kw)
             if out is None:
                 if impl == "hybrid":
                     from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention
@@ -228,24 +255,14 @@ class WindowedMSA(nn.Module):
         if self.tail_shift_mask is None:
             out = attend(q, k, v, adj)
         else:
-            nw = self.windows_per_frame
             u = g * h
             per_f = nw * h
-            f = self.temporal_groups
-            tail_adj = adj * np.asarray(self.tail_shift_mask, dtype=np.float32)
 
             # Unit order is (b, f, nW, h): window_partition flattens (b, f, nW)
             # major→minor and heads were appended after the group index, so the
             # shift-masked units are the last per_f of every f consecutive
             # groups of per_f.
-            if head_major:
-                # Head-major unit order (h, b, f, nW): the temporal-group
-                # period is nW units (per head-and-batch span); the kernel's
-                # selector uses the global unit index, which reduces mod the
-                # span correctly because b·f·nW is a multiple of f·nW.
-                out = fused(q, k, v, adj, tail_adj=tail_adj,
-                            units_per_group=nw, groups=f)
-            elif impl in ("pallas", "hybrid") and per_f % stack == 0:
+            if impl in ("pallas", "hybrid") and per_f % stack == 0:
                 # One fused kernel over all units: the kernel selects the plain
                 # vs shift-masked adjacency per supertile (no split/concat HBM
                 # round-trip, uniform unit axis for sharding).
@@ -269,8 +286,6 @@ class WindowedMSA(nn.Module):
         if use_t:
             # (U, dh, N) → (U, N, dh)
             out = jnp.swapaxes(out, 1, 2)
-        if head_major:
-            out = out.reshape(h, g, n, dh).transpose(1, 0, 2, 3).reshape(g * h, n, dh)
         out = out.astype(cdt).reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)
         out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)

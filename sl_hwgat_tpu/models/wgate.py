@@ -55,9 +55,16 @@ class BandedMSA(nn.Module):
         h, f, vtok = self.num_heads, self.frames, self.tokens_per_frame
         dh = d // h
         cdt = jnp.dtype(self.compute_dtype)
-        qkv = nn.Dense(3 * d, kernel_init=DENSE_INIT, dtype=cdt, name="qkv")(x)
-        qkv = qkv.reshape(g, f, vtok, 3, h, dh).transpose(3, 0, 4, 1, 2, 5)  # (3,G,H,F,V,dh)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # Separate q/k/v projections (head-major output columns): a Megatron
+        # tp column split P(None, 'tp') lands on head groups and propagates
+        # through the head reshape — the fused (3, h, dh) layout's split
+        # crosses the q/k boundary and forces GSPMD replication (see
+        # models/hwgate.py::WindowedMSA).
+        q, k, v = (
+            nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name=nm)(x)
+            .reshape(g, f, vtok, h, dh).transpose(0, 3, 1, 2, 4)  # (G,H,F,V,dh)
+            for nm in ("q", "k", "v")
+        )
         band = jnp.asarray(self.band, jnp.float32)
         # Under make_sharded_steps with an sp axis, route through the explicit
         # edge-partitioned (halo-exchange) path (BASELINE config 5); falls

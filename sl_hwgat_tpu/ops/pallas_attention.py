@@ -849,6 +849,7 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
                             units_per_group: int | None = None,
                             groups: int | None = None,
                             unit_offset=None,
+                            sel=None,
                             out_dtype=None,
                             transposed: bool | str = False):
     """Drop-in fused replacement for ``stacked_window_attention``.
@@ -863,8 +864,15 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
     kernel over all units replaces the split/concat two-call formulation.
     ``unit_offset`` (traced scalar ok) shifts the group phase of unit 0; under
     shard_map pass ``axis_index * per_shard_units`` so each shard selects the
-    right mask planes.
+    right mask planes. ``sel`` overrides the selector entirely: a (U/stack,)
+    int32 vector (traced ok), 1 where the supertile uses the tail mask —
+    for shard layouts whose units are not globally contiguous (the factored
+    head/group sharding in `parallel/kernel_sharding.py::call_factored`).
     """
+    if transposed not in (False, True, "prepacked", "tscore", "tscore_prepacked"):
+        # an unknown string is truthy and would silently take the transposed
+        # lane-softmax path with wrong-layout inputs (ADVICE r2)
+        raise ValueError(f"unknown transposed mode: {transposed!r}")
     key = _cache_adj(adj)
     tail = None
     if tail_adj is not None:
@@ -873,7 +881,10 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
     u_val = jnp.asarray([prune_u if prune else 0.0], jnp.float32)
     n_units = q.shape[0] * (
         stack if transposed in ("prepacked", "tscore_prepacked") else 1)
-    sel = _make_sel(n_units // stack, stack, tail, unit_offset)
+    if sel is None:
+        sel = _make_sel(n_units // stack, stack, tail, unit_offset)
+    else:
+        sel = jnp.asarray(sel, jnp.int32)
     # out_dtype (default f32): bf16 halves the kernel's HBM write traffic —
     # MXU accumulation stays f32, rounding happens only on the final store.
     # The model casts attention output to compute_dtype right after anyway.

@@ -131,3 +131,87 @@ def call_sharded(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
         local, mesh=mesh, in_specs=(spec, spec, spec, P()), out_specs=spec,
         check_vma=False,
     )(q, k, v, jnp.asarray(pu, jnp.float32))
+
+
+def call_factored(q, k, v, adj, *, scale, stack, pad_tokens=None, prune_u=None,
+                  tail_adj=None, units_per_group=None, groups=None,
+                  out_dtype=None):
+    """Factored head/group sharding for the fused kernel: q/k/v arrive 4-D
+    ``(H, G, N, dh)`` and are split **tp on the head axis, dp·sp on the group
+    axis** — the exact layout GSPMD propagates from a head-major-column
+    q/k/v projection (kernels sharded ``P(None, 'tp')``) and a
+    dp/sp-sharded batch, so entering the shard_map moves ZERO bytes.
+
+    This replaces the flat head-major contiguous unit split, which (at
+    stage 2, h == total shards) assigned every mesh axis to the head axis and
+    forced GSPMD into involuntary full rematerialization (replicate + slice)
+    of q/k/v at every block (VERDICT r2 item 2).
+
+    Dual-mask (shifted-block) mode: local units are (h_loc, g_loc) flattened,
+    so shards' units are NOT globally contiguous and a scalar ``unit_offset``
+    cannot express the mask phase; instead the per-supertile selector is
+    computed here from the shard's global group offset and passed via
+    ``sel`` (requires the local group chunk to hold whole temporal groups).
+
+    Returns the attention output in the same (H, G, N, dh) layout, or None
+    when the context/shape makes the factored split inapplicable (caller
+    falls back to the flat paths).
+    """
+    ctx = _CTX
+    if ctx is None:
+        return None
+    mesh, want_axes = ctx
+    tp = int(mesh.shape.get("tp", 0)) if "tp" in mesh.shape else 0
+    if tp <= 1:
+        return None
+    h, g, n, dh = q.shape
+    if h % tp:
+        return None
+    gaxes = tuple(a for a in want_axes
+                  if a != "tp" and a in mesh.shape and mesh.shape[a] > 1)
+    gsizes = [mesh.shape[a] for a in gaxes]
+    n_g = int(np.prod(gsizes)) if gaxes else 1
+    if g % n_g:
+        return None
+    g_loc = g // n_g
+    if g_loc % stack:
+        return None
+    if tail_adj is not None:
+        # supertiles must be mask-uniform and each local group chunk must
+        # hold whole temporal groups so the selector phase is computable
+        if units_per_group % stack or g_loc % units_per_group:
+            return None
+
+    from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
+
+    kw = dict(scale=scale, stack=stack, pad_tokens=pad_tokens)
+    if out_dtype is not None:
+        kw["out_dtype"] = out_dtype
+    has_prune = prune_u is not None
+    pu = prune_u if has_prune else jnp.float32(0.0)
+
+    def local(q4, k4, v4, pu_):
+        h_loc, g_loc_, n_, dh_ = q4.shape
+        qf, kf, vf = (x.reshape(h_loc * g_loc_, n_, dh_) for x in (q4, k4, v4))
+        kw2 = dict(kw, prune_u=pu_ if has_prune else None)
+        if tail_adj is not None:
+            g_off = jnp.int32(0)
+            for a, s in zip(gaxes, gsizes):
+                g_off = g_off * s + jax.lax.axis_index(a)
+            g_off = g_off * g_loc_
+            t = (h_loc * g_loc_) // stack
+            starts = jnp.arange(t, dtype=jnp.int32) * stack
+            gidx = starts % g_loc_  # local group-axis index of the tile start
+            grp = (g_off + gidx) // units_per_group
+            sel = (grp % groups == groups - 1).astype(jnp.int32)
+            kw2.update(tail_adj=tail_adj, units_per_group=units_per_group,
+                       groups=groups, sel=sel)
+        o = pallas_window_attention(qf, kf, vf, adj, **kw2)
+        return o.reshape(h_loc, g_loc_, n_, dh_)
+
+    gspec = gaxes if len(gaxes) > 1 else (gaxes[0] if gaxes else None)
+    spec = P("tp", gspec, None, None)
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec, P()), out_specs=spec,
+        check_vma=False,
+    )(q, k, v, jnp.asarray(pu, jnp.float32))

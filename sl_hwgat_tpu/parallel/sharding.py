@@ -23,9 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 # (path regex, PartitionSpec) — first match wins; default replicate.
+# q/k/v kernels have HEAD-MAJOR output columns, so the column split lands on
+# head groups (requires tp | num_heads) and stays expressible through the
+# (g, n, h, dh) reshape — see models/hwgate.py::WindowedMSA.
 TP_RULES: list[tuple[str, P]] = [
-    (r".*/attn/qkv/kernel$", P(None, "tp")),
-    (r".*/attn/qkv/bias$", P("tp")),
+    (r".*/attn/(q|k|v)/kernel$", P(None, "tp")),
+    (r".*/attn/(q|k|v)/bias$", P("tp")),
     (r".*/attn/proj/kernel$", P("tp", None)),
     (r".*/self_attn/in_proj/kernel$", P(None, "tp")),
     (r".*/self_attn/in_proj/bias$", P("tp")),

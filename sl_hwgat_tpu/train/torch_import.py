@@ -50,6 +50,15 @@ def hwgate_from_torch(state_dict: Mapping[str, np.ndarray]) -> dict:
     flat = re.compile(r"layers\.(\d+)\." + sub_re)                  # WGATE/GATE
 
     def put(base: tuple[str, ...], sub: str, kind: str, v: np.ndarray):
+        if sub == "attn.qkv":
+            # Our MSA uses three separate q/k/v projections (head-major
+            # columns, tp-shardable); the reference packs them as one
+            # (3d, d) torch Linear with rows ordered [q | k | v].
+            third = v.shape[0] // 3
+            for i, nm in enumerate(("q", "k", "v")):
+                _dense(params, base + ("attn", nm), kind,
+                       v[i * third:(i + 1) * third])
+            return
         path = base + tuple(sub.split("."))
         (_layernorm if sub.startswith("norm") else _dense)(params, path, kind, v)
 

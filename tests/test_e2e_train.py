@@ -78,13 +78,13 @@ def test_transfer_load_partial(workdir):
     state, _ = init_state(model, cfg, (32, 64, 2), ("dropout", "prune"))
     head_before = np.asarray(state.variables["params"]["head"]["kernel"]).copy()
     body_before = np.asarray(
-        state.variables["params"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"]
+        state.variables["params"]["layers_0_blocks_0"]["attn"]["q"]["kernel"]
     ).copy()
     state = ckpt_lib.load_pretrained_into(state, src, cfg.model_type, verbose=False)
     # head kept fresh (shape mismatch: 16 vs 7 classes), body overwritten
     np.testing.assert_array_equal(state.variables["params"]["head"]["kernel"], head_before)
     assert not np.allclose(
-        state.variables["params"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"], body_before
+        state.variables["params"]["layers_0_blocks_0"]["attn"]["q"]["kernel"], body_before
     )
 
 

@@ -48,9 +48,15 @@ def test_pt_checkpoint_roundtrip(tmp_path):
     state = ckpt_lib.load_pretrained_into(state, str(path), "HWGATE", verbose=False)
 
     np.testing.assert_array_equal(state.variables["params"]["head"]["kernel"], head_before)
-    want = model.state_dict()["layers.0.blocks.0.attn.qkv.weight"].numpy().T
+    wqkv = model.state_dict()["layers.0.blocks.0.attn.qkv.weight"].numpy()
+    third = wqkv.shape[0] // 3
     np.testing.assert_allclose(
-        state.variables["params"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"], want, atol=0
+        state.variables["params"]["layers_0_blocks_0"]["attn"]["q"]["kernel"],
+        wqkv[:third].T, atol=0,
+    )
+    np.testing.assert_allclose(
+        state.variables["params"]["layers_0_blocks_0"]["attn"]["v"]["kernel"],
+        wqkv[2 * third:].T, atol=0,
     )
     # buffers transferred too (Fourier B drives the embedding)
     np.testing.assert_allclose(
