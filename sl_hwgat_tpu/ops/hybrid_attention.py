@@ -114,7 +114,9 @@ def _masked_softmax_fwd(s, u_val, sel, prune, adj_key_masks, shape_info,
                         p_dtype):
     allowed_m, fill_m, dual, zero_quirk = _build(adj_key_masks, shape_info)
     t, sn, _ = s.shape
-    tiles_per_step = _pick_tiles_per_step(t, sn, sn)
+    tiles_per_step, t_pad = _pick_tiles_per_step(t, sn, sn)
+    if t_pad != t:  # hybrid keeps the divisor-only policy (no tile padding)
+        tiles_per_step = next(d for d in range(tiles_per_step, 0, -1) if t % d == 0)
     kern = functools.partial(
         _softmax_fwd_kernel, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
@@ -129,7 +131,9 @@ def _masked_softmax_bwd(prune, adj_key_masks, shape_info, p_dtype, res, dp):
     s, u_val, sel = res
     allowed_m, fill_m, dual, zero_quirk = _build(adj_key_masks, shape_info)
     t, sn, _ = s.shape
-    tiles_per_step = _pick_tiles_per_step(t, sn, sn)
+    tiles_per_step, t_pad = _pick_tiles_per_step(t, sn, sn)
+    if t_pad != t:  # hybrid keeps the divisor-only policy (no tile padding)
+        tiles_per_step = next(d for d in range(tiles_per_step, 0, -1) if t % d == 0)
     kern = functools.partial(
         _softmax_bwd_kernel, zero_quirk=zero_quirk, prune=prune,
         tiles_per_step=tiles_per_step, dual=dual,
