@@ -11,7 +11,8 @@ reach. Calibration constants below were measured on this v5e
 (tools/kernel_batch3_results.jsonl); ≥80% of shape-roofline is the target.
 
 Production kernel config preference order (validated on-chip, see
-tools/kernel_*_results.jsonl): batched+bf16 → bf16 tg16 → f32 → stacked XLA.
+tools/kernel_*_results.jsonl): tscore-batched bf16 (479µs ≈ 0.99 roofline)
+→ row-major bf16 tg16 (840µs) → f32 → stacked XLA.
 Each measurement runs in a child process (`bench_kernel.py`) under a timeout
 because the remote-compile relay degrades within a session (compiles go from
 ~1-2 min to wedged); on total wedge the last on-chip measurement is reported
@@ -46,6 +47,12 @@ CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", "480"))
 # conversion-free — round-1's f32-out measurement carried a ~143µs XLA astype
 # pass per iteration that was NOT kernel time, see tools/kernel_batch16).
 CONFIGS = [
+    # Round-3 production forward: batched transposed-score schedule — ALL
+    # FOUR streams physically unpadded (T, DH, SN) bf16 + one batched
+    # dot_general per block for Sᵀ and Oᵀ. 479µs on-chip vs the 477µs XLA
+    # shape calibration ⇒ ~0.99 of roofline (tools/kernel_batch29/30).
+    ("fused_tscore_batched_bf16", "pallas_tspre_bf16",
+     {"PALLAS_ATTN_BATCHED": "1"}, "bfloat16", 2),
     ("fused_bf16_obf16_tg16", "pallas_obf16", {}, "bfloat16", 2),
     ("fused_bf16_tg16", "pallas_bf16", {}, "bfloat16", 2),
     ("fused_f32", "pallas", {}, "float32", 4),
@@ -53,8 +60,9 @@ CONFIGS = [
 ]
 
 # Last successful on-chip measurement, used only when every child wedges.
-LAST_GOOD = {"time_us": 840.3, "edges": 12288 * 164, "name": "fused_bf16_obf16_tg16",
-             "dtype": "bfloat16", "bytes": 2, "measured": "2026-08-19T20:30Z"}
+LAST_GOOD = {"time_us": 479.1, "edges": 12288 * 164,
+             "name": "fused_tscore_batched_bf16",
+             "dtype": "bfloat16", "bytes": 2, "measured": "2026-08-20T06:30Z"}
 
 
 def run_child(impl: str, env_overlay: dict, timeout_s: int):

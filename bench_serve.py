@@ -73,19 +73,26 @@ def main():
     queue = BatchingQueue(pred, max_batch=16, max_wait_ms=10.0)
     reqs = [clip() for _ in range(64)]
     queue.submit(reqs[0]).result()  # warm
+
+    def timed_call(req):
+        s = time.perf_counter()
+        queue.submit(req).result()
+        return time.perf_counter() - s
+
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=16) as ex:
-        futs = list(ex.map(queue.submit, reqs))
-    for f in futs:
-        f.result()
+        lat = list(ex.map(timed_call, reqs))
     q_wall = time.perf_counter() - t0
     queue.close()
+    lat_ms = np.sort(np.asarray(lat)) * 1e3
 
     print(json.dumps({"impl": "serve", "model": "HWGATE", "dataset": ds_name,
                       "per_bucket_ms": out,
                       "clips_per_sec_b16": round(16 / (out["16"] / 1e3), 1),
                       "queue_clips_per_sec": round(64 / q_wall, 1),
                       "queue_batches": queue.stats["batches"],
+                      "queue_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+                      "queue_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
                       "queue_speedup_vs_serial_b1": round(
                           (out["1"] / 1e3) * 64 / q_wall, 2)}))
 

@@ -1,6 +1,6 @@
-"""Child process: measure the full HWGATE train step (fwd+bwd+AdamW) on the
-TPU at the FDMSE-ISL flagship config and print one JSON line
-{impl, time_us, clips_per_sec}.
+"""Child process: measure the full HWGATE train step (fwd+bwd+AdamW) — or the
+eval step with SL_HWGAT_STEP=eval — on the TPU at the FDMSE-ISL flagship
+config and print one JSON line {impl, time_us, clips_per_sec}.
 
 Run as: python bench_train_step.py {f32|bf16} [batch]
 """
@@ -40,8 +40,8 @@ def main():
         lr = 5e-4
 
     state, opt = init_state(model, Cfg, (192, 64, 2), ("dropout", "prune"))
-    tstep, _ = make_steps(model, opt, rng_streams=("dropout", "prune"),
-                          mutable_stats=False, donate=False)
+    tstep, estep = make_steps(model, opt, rng_streams=("dropout", "prune"),
+                              mutable_stats=False, donate=False)
 
     r = np.random.default_rng(0)
     x = jnp.asarray(r.normal(size=(batch, 192, 64, 2)).astype(np.float32))
@@ -50,6 +50,23 @@ def main():
     key = jax.random.PRNGKey(0)
 
     variables, opt_state = state.variables, state.opt_state
+
+    if os.environ.get("SL_HWGAT_STEP") == "eval":
+        out = estep(variables, x, y, valid, 1)
+        float(out[0])
+        steps = 20
+        t0 = time.perf_counter()
+        for i in range(steps):
+            out = estep(variables, x, y, valid, 1)
+        float(out[0])
+        per_step = (time.perf_counter() - t0) / steps
+        print(json.dumps({
+            "impl": f"eval_step_{dtype}",
+            "time_us": per_step * 1e6,
+            "clips_per_sec": batch / per_step,
+        }))
+        return
+
     out = tstep(variables, opt_state, x, y, valid, key, 0, 0)
     variables, opt_state = out[0], out[1]
     # block_until_ready does NOT force completion through the axon relay;
