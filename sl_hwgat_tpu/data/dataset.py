@@ -83,17 +83,31 @@ class Loader:
     # epochs (validation, checkpointing, curve plotting) instead of starting
     # cold when the next epoch is requested. Set on the train loader.
     auto_warm_next: bool = False
+    # row_slice (lo, hi): multi-host input sharding — this process loads and
+    # transforms ONLY rows [lo, hi) of every (globally identically ordered)
+    # batch; `train/dist.py` assembles the global array from the local shards
+    # via make_array_from_process_local_data. Padding happens at the ID level
+    # (repeat the last real id; `dataset.get` is deterministic per
+    # (seed, epoch, id), so this equals the old repeat-the-array padding).
+    row_slice: tuple | None = None
 
-    def _collect(self, futures):
+    def _batch_ids(self, order, s: int):
+        ids = order[s : s + self.batch_size]
+        valid = np.ones(len(ids), dtype=np.float32)
+        if len(ids) < self.batch_size:  # pad to fixed shape
+            pad = self.batch_size - len(ids)
+            ids = np.concatenate([ids, np.repeat(ids[-1:], pad)])
+            valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+        if self.row_slice is not None:
+            lo, hi = self.row_slice
+            ids, valid = ids[lo:hi], valid[lo:hi]
+        return ids, valid
+
+    def _collect(self, task):
+        futures, valid = task
         samples = [f.result() for f in futures]
         feats = np.stack([s[0] for s in samples])
         labels = np.asarray([s[1] for s in samples], dtype=np.int32)
-        valid = np.ones(len(samples), dtype=np.float32)
-        if len(samples) < self.batch_size:  # pad to fixed shape
-            pad = self.batch_size - len(samples)
-            feats = np.concatenate([feats, np.repeat(feats[-1:], pad, 0)])
-            labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
-            valid = np.concatenate([valid, np.zeros(pad, np.float32)])
         return feats, labels, valid
 
     def _pool_get(self) -> ThreadPoolExecutor:
@@ -111,8 +125,9 @@ class Loader:
 
     def _submit(self, order, s: int, epoch: int):
         pool = self._pool_get()
+        ids, valid = self._batch_ids(order, s)
         return [pool.submit(self.dataset.get, int(i), epoch)
-                for i in order[s : s + self.batch_size]]
+                for i in ids], valid
 
     def warm(self, epoch: int) -> None:
         """Pre-submit the first ``prefetch+1`` batches of ``epoch`` (sample

@@ -15,9 +15,11 @@ TPU-native equivalent, designed for v5e-16-style 2-host slices:
   scalars), so history/scheduling stay in lockstep; only process 0 writes
   checkpoints and curves.
 
-Each process runs an identical seeded loader and materializes the full global
-batch; jax extracts each process's addressable shards. For large-scale runs
-shard the id list per process instead (noted in ROADMAP).
+Input sharding: every process runs an identical seeded batch SCHEDULE, but
+loads/transforms only the contiguous batch-row range its devices address
+(``Loader.row_slice``) — input IO and host transform cost stay O(1/n_proc).
+Falls back to materializing the full global batch only when the mesh layout
+makes a process's addressable region non-contiguous along the batch axis.
 
 Tested without a cluster: two localhost CPU processes
 (`tests/test_multiprocess_dcn.py::test_two_process_training`, RUN_DIST=1).
@@ -26,6 +28,37 @@ Tested without a cluster: two localhost CPU processes
 from __future__ import annotations
 
 import numpy as np
+
+
+def _local_batch_slice(sharding, global_shape) -> tuple[int, int] | None:
+    """Contiguous (lo, hi) batch-row range this process addresses under
+    ``sharding``, or None when per-process slice loading is inapplicable
+    (non-contiguous rows, or the process doesn't address the full extent of
+    every non-batch dim)."""
+    import jax
+
+    imap = sharding.devices_indices_map(tuple(global_shape))
+    pid = jax.process_index()
+    ranges = set()
+    for dev, idx in imap.items():
+        if dev.process_index != pid:
+            continue
+        b = idx[0]
+        lo = 0 if b.start is None else int(b.start)
+        hi = global_shape[0] if b.stop is None else int(b.stop)
+        ranges.add((lo, hi))
+        for dim, s in enumerate(idx[1:], 1):
+            if (s.start or 0) != 0 or (
+                    global_shape[dim] if s.stop is None else s.stop
+            ) != global_shape[dim]:
+                return None  # e.g. sp frame-sharding split across processes
+    if not ranges:
+        return None
+    lo = min(r[0] for r in ranges)
+    hi = max(r[1] for r in ranges)
+    if sum(r[1] - r[0] for r in ranges) != hi - lo:
+        return None  # non-contiguous
+    return lo, hi
 
 
 def initialize(coordinator_address: str | None = None,
@@ -81,14 +114,30 @@ def run_distributed(cfg, mesh_shape: tuple | None = None, progress=None):
     )
 
     x_sh, y_sh, v_sh = batch_sharding(mesh)
+    gx_shape = (cfg.batch_size, cfg.src_len, num_kps, cfg.input_dim)
+    gy_shape = gv_shape = (cfg.batch_size,)
+
+    # Per-process input sharding: each process loads/transforms ONLY the
+    # batch rows its devices address (the batch SCHEDULE — shuffle order,
+    # epoch boundaries — is identical everywhere, derived from the shared
+    # seed). Requires the row slices of x/y/valid to agree, which they do:
+    # all three shard the batch axis over 'dp' only.
+    row_slice = None
+    if n_proc > 1:
+        row_slice = _local_batch_slice(x_sh, gx_shape)
+        if row_slice is not None and row_slice != _local_batch_slice(y_sh, gy_shape):
+            row_slice = None
+        if row_slice is not None:
+            train_loader.row_slice = row_slice
+            val_loader.row_slice = row_slice
 
     def to_global(x, y, valid):
-        """Assemble global arrays: every process runs an identical seeded
-        loader, passes the full batch, and jax extracts the shards this
-        process addresses (works for any dp/sp factorization)."""
-        gx = jax.make_array_from_process_local_data(x_sh, np.asarray(x), x.shape)
-        gy = jax.make_array_from_process_local_data(y_sh, np.asarray(y), y.shape)
-        gv = jax.make_array_from_process_local_data(v_sh, np.asarray(valid), valid.shape)
+        """Assemble global arrays from this process's local rows (or from the
+        full batch in the replicated fallback) — jax takes the addressable
+        shards from the local data."""
+        gx = jax.make_array_from_process_local_data(x_sh, np.asarray(x), gx_shape)
+        gy = jax.make_array_from_process_local_data(y_sh, np.asarray(y), gy_shape)
+        gv = jax.make_array_from_process_local_data(v_sh, np.asarray(valid), gv_shape)
         return gx, gy, gv
 
     key = jax.random.PRNGKey(cfg.seed)
