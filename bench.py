@@ -97,6 +97,47 @@ def roofline_seconds(dtype: str, elem_bytes: int) -> tuple[float, float]:
     return t_compute, t_memory
 
 
+LAST_GOOD_STEP = {"time_us": 152663.3, "clips_per_sec": 104.8, "batch": 16,
+                  "measured": "2026-08-20T06:50Z"}
+
+
+def step_metric():
+    """Second metric (VERDICT r2 item 5): full HWGATE train step vs the
+    analytic step roofline (`utils/profiling.py::hwgate_step_roofline` —
+    GEMMs at the measured big-matmul bf16 rate + attention at the shape rate
+    + optimizer HBM traffic). Printed to stderr (the driver contract is ONE
+    stdout JSON line, which stays the kernel headline)."""
+    from sl_hwgat_tpu.utils.profiling import hwgate_step_roofline
+
+    batch = 16
+    rec = None
+    if os.environ.get("BENCH_SKIP_STEP") != "1":
+        cmd = [sys.executable,
+               os.path.join(os.path.dirname(__file__), "bench_train_step.py"),
+               "bf16", str(batch)]
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=CHILD_TIMEOUT_S)
+            for line in out.stdout.splitlines():
+                if line.strip().startswith("{"):
+                    rec = json.loads(line)
+                    break
+        except subprocess.TimeoutExpired:
+            pass
+    fresh = rec is not None
+    if rec is None:
+        rec = dict(LAST_GOOD_STEP)
+    roof = hwgate_step_roofline(batch)
+    print(json.dumps({
+        "metric": "hwgate_train_step_clips_per_sec",
+        "value": round(rec["clips_per_sec"], 1),
+        "unit": "clips/s",
+        "vs_step_roofline": round(rec["clips_per_sec"] / roof["clips_per_sec"], 4),
+        "roofline_clips_per_sec": round(roof["clips_per_sec"], 1),
+        "fresh": fresh,
+    }), file=sys.stderr)
+
+
 def main():
     measured = None
     name = dtype = None
@@ -141,6 +182,7 @@ def main():
         f"calibration: shape-matmul f32 17.3TF bf16 27.0TF, HBM 1.05TB/s.",
         file=sys.stderr,
     )
+    step_metric()
 
 
 if __name__ == "__main__":

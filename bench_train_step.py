@@ -31,6 +31,13 @@ def main():
         overrides["attn_impl"] = os.environ["SL_HWGAT_ATTN_IMPL"]
     if os.environ.get("SL_HWGAT_REMAT") == "1":
         overrides["remat"] = True
+    # step-time decomposition ablations (tools/kernel_batch32):
+    if os.environ.get("SL_HWGAT_DROP") is not None:
+        overrides["drop_rate"] = float(os.environ["SL_HWGAT_DROP"])
+    if os.environ.get("SL_HWGAT_PRUNE") == "0":
+        overrides["prune_attn"] = False
+    if os.environ.get("SL_HWGAT_PE") == "0":
+        overrides["pe"] = False
     ds = {"src_len": 192, "num_class": 2002}  # FDMSE-ISL (constants.py)
     model = build_model("HWGATE", ds, 2, **overrides)
 

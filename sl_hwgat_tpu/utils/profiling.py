@@ -80,3 +80,80 @@ def hwgate_forward_cost(batch: int, frames: int = 192, embed: int = 128,
             total["bytes_min"] += c.bytes_min
         f //= tp
     return total
+
+
+def hwgate_step_roofline(batch: int, frames: int = 192, embed: int = 128,
+                         depths=(2, 2, 4), heads=(2, 4, 8), tp: int = 2,
+                         nw: int = 4, window: int = 16, kps: int = 64,
+                         num_classes: int = 2002, ff_ratio: float = 2.0,
+                         train: bool = True,
+                         mxu_flops: float = 47.3e12,
+                         shape_flops: float = 27.0e12,
+                         mem_bw: float = 1.05e12,
+                         dtype_bytes: int = 2) -> dict:
+    """Analytic speed-of-light for one HWGATE train (or eval) step.
+
+    Sequential roofline: every GEMM contributes max(FLOPs/peak, bytes/BW)
+    — big projection/FFN GEMMs at the measured big-matmul bf16 rate, the
+    32-token attention supertiles at the measured shape-calibrated rate
+    (`bench.py` calibration constants) — plus AdamW optimizer HBM traffic.
+    Train counts each GEMM 3× (forward, input-grad, weight-grad) and
+    attention at the measured fwd+bwd/fwd ratio (~2.5, kernel batch-23).
+
+    Deliberately EXCLUDED: LayerNorm / residual / roll / window-partition
+    elementwise+relayout traffic — that is implementation overhead, not
+    compulsory work, so (measured / this) directly quantifies how much of
+    the step is spent outside the GEMM+attention core.
+    """
+
+    def gemm_t(m, k, n, count=1):
+        flops = 2.0 * m * k * n * count
+        byts = float(m * k + k * n + m * n) * dtype_bytes * count
+        return max(flops / mxu_flops, byts / mem_bw), flops
+
+    total_t, total_flops = 0.0, 0.0
+    mult = 3 if train else 1  # fwd + dgrad + wgrad GEMMs
+    f = frames
+    for i, (d_i, h_i) in enumerate(zip(depths, heads)):
+        dim = embed * 2**i
+        tok = batch * f * kps
+        hidden = int(dim * ff_ratio)
+        for _ in range(d_i):
+            for (k_, n_, cnt) in ((dim, dim, 3),       # q, k, v projections
+                                  (dim, dim, 1),       # output projection
+                                  (dim, hidden, 1),    # fc1
+                                  (hidden, dim, 1)):   # fc2
+                t1, fl = gemm_t(tok, k_, n_, cnt)
+                total_t += mult * t1
+                total_flops += mult * fl
+        if i < len(depths) - 1:
+            f //= tp
+    # classifier head + Fourier embed (embed/2 random features per coord)
+    t1, fl = gemm_t(batch, embed * 2 ** (len(depths) - 1), num_classes)
+    total_t += mult * t1
+    total_flops += mult * fl
+    t1, fl = gemm_t(batch * frames * kps, 2, embed // 2)
+    total_t += mult * t1
+    total_flops += mult * fl
+
+    # attention supertiles at the shape-calibrated rate
+    attn = hwgate_forward_cost(batch, frames, embed, depths, heads, tp, nw, window)
+    attn_t = max(attn["dense_flops"] / shape_flops,
+                 attn["bytes_min"] / 2 / mem_bw)  # bytes_min assumes f32; bf16 halves it
+    attn_mult = 2.5 if train else 1.0  # measured fwd+bwd/fwd ≈ 2099/840
+    total_t += attn_mult * attn_t
+    total_flops += attn_mult * attn["dense_flops"]
+
+    if train:
+        # AdamW: read p/m/v + write p/m/v, f32 master copies
+        n_params = 0
+        f2 = frames
+        for i, d_i in enumerate(depths):
+            dim = embed * 2**i
+            hidden = int(dim * ff_ratio)
+            n_params += d_i * (3 * dim * dim + dim * dim + 2 * dim * hidden)
+        n_params += embed * 2 ** (len(depths) - 1) * num_classes
+        total_t += n_params * 4 * 6 / mem_bw
+
+    return {"seconds": total_t, "flops": total_flops,
+            "clips_per_sec": batch / total_t}
