@@ -888,7 +888,8 @@ def main():
         # edges per op = B·H·F·V·3V (the useful band, both impls equal).
         from sl_hwgat_tpu.graphs.adjacency import additive_mask
         from sl_hwgat_tpu.graphs.skeleton import BODY29_EDGES, edges_to_dense
-        from sl_hwgat_tpu.ops.attention import banded_frame_attention
+        from sl_hwgat_tpu.ops.attention import (banded_frame_attention,
+                                                compact_banded_frame_attention)
         from sl_hwgat_tpu.ops.pallas_banded import pallas_banded_frame_attention
 
         B, H, F, V, DH = 16, 8, 192, 29, 16
@@ -909,6 +910,12 @@ def main():
         if "pallas" in impl:
             attn = lambda qq: pallas_banded_frame_attention(
                 qq.astype(dt), kb, vb, band, scale=0.25)
+        elif "compact" in impl:
+            # identity-temporal compact form (3x less SDDMM/SpMM work; equal
+            # numerics — ops/attention.py::compact_banded_frame_attention)
+            spj = jnp.asarray(band[1])
+            attn = lambda qq: compact_banded_frame_attention(
+                qq.astype(dt), kb, vb, spj, scale=0.25)
         else:
             attn = lambda qq: banded_frame_attention(
                 qq.astype(dt), kb, vb, bandj, scale=0.25)

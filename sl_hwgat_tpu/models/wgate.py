@@ -23,7 +23,8 @@ from sl_hwgat_tpu.models.common import (
     PositionalEncoding,
     layer_norm,
 )
-from sl_hwgat_tpu.ops.attention import banded_frame_attention
+from sl_hwgat_tpu.ops.attention import (banded_frame_attention,
+                                         compact_banded_frame_attention)
 from sl_hwgat_tpu.ops.window import spatial_window_partition, spatial_window_reverse
 
 
@@ -66,12 +67,19 @@ class BandedMSA(nn.Module):
             for nm in ("q", "k", "v")
         )
         band = jnp.asarray(self.band, jnp.float32)
+        # attn_impl 'auto' → the compact identity-temporal form (3× less
+        # SDDMM/SpMM work than the (V, 3V) band — the prev/next planes of
+        # this family's band are identity masks, `_band` above; numerically
+        # equal, see ops/attention.py::compact_banded_frame_attention).
+        # 'banded' forces the generic band; 'pallas_banded' the fused kernel.
+        compact = self.attn_impl in ("auto", "compact")
         # Under make_sharded_steps with an sp axis, route through the explicit
         # edge-partitioned (halo-exchange) path (BASELINE config 5); falls
         # back to the plain banded op (GSPMD-propagated) otherwise.
         from sl_hwgat_tpu.parallel.edge_partition import call_sharded_banded
 
-        out = call_sharded_banded(q, k, v, band, scale=dh**-0.5)
+        out = call_sharded_banded(q, k, v, band, scale=dh**-0.5,
+                                  impl="compact" if compact else "banded")
         if out is None and self.attn_impl == "pallas_banded":
             from sl_hwgat_tpu.ops.pallas_banded import (
                 ROWS, pallas_banded_frame_attention)
@@ -80,6 +88,8 @@ class BandedMSA(nn.Module):
             if f % (ROWS // vp_) == 0:
                 out = pallas_banded_frame_attention(
                     q, k, v, np.asarray(self.band, np.float32), scale=dh**-0.5)
+        if out is None and compact:
+            out = compact_banded_frame_attention(q, k, v, band[1], scale=dh**-0.5)
         if out is None:
             out = banded_frame_attention(q, k, v, band, scale=dh**-0.5)
         out = out.transpose(0, 2, 3, 1, 4).reshape(g, n, d)  # (G,F,V,H,dh) → (G,N,D)

@@ -31,7 +31,8 @@ try:  # jax ≥ 0.6 exposes shard_map at the top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from sl_hwgat_tpu.ops.attention import banded_frame_attention
+from sl_hwgat_tpu.ops.attention import (banded_frame_attention,
+                                        compact_banded_frame_attention)
 
 
 _CTX: tuple | None = None
@@ -53,7 +54,8 @@ def halo_banded_attention(mesh: Mesh, axis: str = "sp", batch_axis: str = "dp"):
         _CTX = prev
 
 
-def call_sharded_banded(q, k, v, band_mask, *, scale: float):
+def call_sharded_banded(q, k, v, band_mask, *, scale: float,
+                        impl: str = "compact"):
     """Route through the halo path if a context is active and the frame axis
     divides evenly; return None when not applicable (caller falls back to the
     unsharded op, which GSPMD still partitions over dp)."""
@@ -69,18 +71,23 @@ def call_sharded_banded(q, k, v, band_mask, *, scale: float):
     ba = batch_axis if (batch_axis in mesh.shape and mesh.shape[batch_axis] > 1
                         and q.shape[0] % mesh.shape[batch_axis] == 0) else None
     return sharded_banded_frame_attention(
-        q, k, v, band_mask, mesh=mesh, axis=axis, batch_axis=ba, scale=scale)
+        q, k, v, band_mask, mesh=mesh, axis=axis, batch_axis=ba, scale=scale,
+        impl=impl)
 
 
 def sharded_banded_frame_attention(q, k, v, band_mask, *, mesh: Mesh,
                                    axis: str = "sp",
                                    batch_axis: str | None = None,
-                                   scale: float):
+                                   scale: float,
+                                   impl: str = "banded"):
     """Frame-sharded banded attention with ±1-frame halo exchange.
 
     q, k, v: (G, H, F, V, dh) with F divisible by the ``axis`` mesh size.
     ``batch_axis``: optional mesh axis the leading G axis is sharded over
     (keeps dp sharding intact when called from inside a GSPMD train step).
+    ``impl='compact'`` runs the identity-temporal compact form (requires the
+    band's prev/next planes to be identity masks, which every model in this
+    family satisfies — `models/wgate.py::_band`).
     Returns the same result as the unsharded ``banded_frame_attention``.
     """
     n_shards = mesh.shape[axis]
@@ -98,6 +105,12 @@ def sharded_banded_frame_attention(q, k, v, band_mask, *, mesh: Mesh,
         right_v = jax.lax.ppermute(v[:, :, :1], axis, perm=bwd)
         left_exists = (idx > 0).astype(jnp.float32)
         right_exists = (idx < n_shards - 1).astype(jnp.float32)
+        if impl == "compact":
+            return compact_banded_frame_attention(
+                q, k, v, band[1], scale=scale,
+                halo=(left_k, left_v, right_k, right_v),
+                edge_valid=(left_exists, right_exists),
+            )
         return banded_frame_attention(
             q, k, v, band, scale=scale,
             halo=(left_k, left_v, right_k, right_v),

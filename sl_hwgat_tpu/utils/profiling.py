@@ -157,3 +157,24 @@ def hwgate_step_roofline(batch: int, frames: int = 192, embed: int = 128,
 
     return {"seconds": total_t, "flops": total_flops,
             "clips_per_sec": batch / total_t}
+
+
+def banded_attention_cost(groups: int, heads: int, frames: int, vtok: int,
+                          head_dim: int, dtype_bytes: int = 4,
+                          compact: bool = True) -> AttentionCost:
+    """Roofline accounting for the banded (GATE/WGATE) attention op
+    (VERDICT r2 item 6). ``edges`` counts the full (V, 3V) band either way
+    (both impls cover the same edge set); ``dense_flops`` is what the chosen
+    formulation issues — the compact identity-temporal form
+    (`ops/attention.py::compact_banded_frame_attention`) does the (V, V)
+    same-frame block + 2 elementwise temporal dots instead of (V, 3V)."""
+    bhf = groups * heads * frames
+    edges = bhf * vtok * 3 * vtok
+    if compact:
+        dense = bhf * 2 * (2 * vtok * vtok * head_dim) + bhf * 2 * (2 * vtok * head_dim)
+    else:
+        dense = bhf * 2 * (2 * vtok * 3 * vtok * head_dim)
+    sparse = edges * 4 * head_dim
+    io = bhf * vtok * head_dim * dtype_bytes * 4  # q, k, v, out (compulsory)
+    return AttentionCost(edges=edges, dense_flops=dense, sparse_flops=sparse,
+                         bytes_min=io)

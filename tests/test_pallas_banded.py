@@ -110,3 +110,43 @@ def test_gate_model_pallas_banded_impl_matches_default():
     want = ref.apply(variables, x, train=False)
     got = fused.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_compact_matches_banded_fwd_and_grad():
+    """The identity-temporal compact form must equal the generic band op
+    bit-for-bit up to f32 rounding (the dropped -1e4 entries underflow to
+    exactly zero weight)."""
+    import jax
+
+    from sl_hwgat_tpu.graphs.adjacency import additive_mask
+    from sl_hwgat_tpu.graphs.skeleton import BODY29_EDGES, edges_to_dense
+    from sl_hwgat_tpu.ops.attention import (banded_frame_attention,
+                                            compact_banded_frame_attention)
+
+    G, H, F, V, DH = 2, 3, 8, 29, 16
+    eye = np.eye(V, dtype=np.float32)
+    spatial = edges_to_dense(BODY29_EDGES, V, self_loops=False)
+    band = jnp.asarray(np.stack([additive_mask(eye), additive_mask(spatial),
+                                 additive_mask(eye)]))
+    r = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(r.normal(size=(G, H, F, V, DH)).astype(np.float32))
+               for _ in range(3))
+    want = banded_frame_attention(q, k, v, band, scale=0.25)
+    got = compact_banded_frame_attention(q, k, v, band[1], scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    gw = jax.grad(lambda qq: float(0) + jnp.sum(jnp.cos(
+        banded_frame_attention(qq, k, v, band, scale=0.25))))(q)
+    gc = jax.grad(lambda qq: jnp.sum(jnp.cos(
+        compact_banded_frame_attention(qq, k, v, band[1], scale=0.25))))(q)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gw), atol=5e-6)
+
+    # halo interface parity (the edge-partition training path)
+    lk, lv, rk, rv = (jnp.asarray(r.normal(size=(G, H, 1, V, DH)).astype(np.float32))
+                      for _ in range(4))
+    for ev in ((jnp.float32(1), jnp.float32(0)), (jnp.float32(0), jnp.float32(1))):
+        want = banded_frame_attention(q, k, v, band, scale=0.25,
+                                      halo=(lk, lv, rk, rv), edge_valid=ev)
+        got = compact_banded_frame_attention(q, k, v, band[1], scale=0.25,
+                                             halo=(lk, lv, rk, rv), edge_valid=ev)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
