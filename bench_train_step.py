@@ -20,6 +20,11 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     import jax
+
+    if os.environ.get("SL_HWGAT_PRNG"):
+        # threefry dropout-bit generation measured 33.5ms of the 152.7ms
+        # step (tools/kernel_batch32); 'rbg' uses the TPU hardware RNG
+        jax.config.update("jax_default_prng_impl", os.environ["SL_HWGAT_PRNG"])
     import jax.numpy as jnp
     import numpy as np
 

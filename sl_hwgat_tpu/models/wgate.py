@@ -80,6 +80,18 @@ class BandedMSA(nn.Module):
 
         out = call_sharded_banded(q, k, v, band, scale=dh**-0.5,
                                   impl="compact" if compact else "banded")
+        if out is None and self.attn_impl == "ell":
+            # true edge-space (gather/scatter) formulation on the same
+            # topology — measured 23× slower than banded on v5e
+            # (tools/kernel_batch29: 76.3ms vs 3.3ms); selectable for
+            # policy verification and non-banded topologies
+            from sl_hwgat_tpu.ops.sparse_attention import (ell_from_band,
+                                                           ell_graph_attention)
+
+            col, val = ell_from_band(np.asarray(self.band[1], np.float32), f)
+            qf, kf, vf = (t.reshape(g, h, f * vtok, dh) for t in (q, k, v))
+            out = ell_graph_attention(qf, kf, vf, col, val, scale=dh**-0.5)
+            out = out.reshape(g, h, f, vtok, dh)
         if out is None and self.attn_impl == "pallas_banded":
             from sl_hwgat_tpu.ops.pallas_banded import (
                 ROWS, pallas_banded_frame_attention)

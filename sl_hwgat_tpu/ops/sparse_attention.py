@@ -58,3 +58,33 @@ def ell_from_dense(adj: np.ndarray):
     from sl_hwgat_tpu.graphs.adjacency import dense_to_ell
 
     return dense_to_ell(adj)
+
+
+_ELL_CACHE: dict = {}
+
+
+def ell_from_band(spatial_additive: np.ndarray, frames: int):
+    """ELL tables for the family's spatio-temporal topology: same-frame
+    spatial edges (where the additive plane is 0) + same-joint ±1-frame
+    links — the edge set `banded_frame_attention` covers, in true edge-space
+    form (`model_params.py:60-73` semantics). Cached per (topology, frames)."""
+    key = (frames, spatial_additive.tobytes())
+    if key in _ELL_CACHE:
+        return _ELL_CACHE[key]
+    vtok = spatial_additive.shape[0]
+    nbrs = [np.nonzero(spatial_additive[i] == 0)[0] for i in range(vtok)]
+    deg = max(len(n) for n in nbrs) + 2
+    col = np.zeros((frames * vtok, deg), np.int32)
+    val = np.zeros((frames * vtok, deg), np.float32)
+    for f in range(frames):
+        for i in range(vtok):
+            t = f * vtok + i
+            slots = [f * vtok + j for j in nbrs[i]]
+            if f > 0:
+                slots.append((f - 1) * vtok + i)
+            if f < frames - 1:
+                slots.append((f + 1) * vtok + i)
+            col[t, : len(slots)] = slots
+            val[t, : len(slots)] = 1.0
+    _ELL_CACHE[key] = (col, val)
+    return col, val

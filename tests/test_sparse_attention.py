@@ -40,3 +40,23 @@ def test_ell_matches_dense_window_graph():
     )
     got = ell_graph_attention(q, k, v, col, valid, scale=0.25)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_gate_attn_impl_ell_matches_default():
+    """GATE with attn_impl='ell' (true edge-space gather/scatter on the
+    spatio-temporal topology) equals the banded/compact default."""
+    import jax
+    import jax.numpy as jnp
+
+    from sl_hwgat_tpu.models.gate import GATE
+
+    kw = dict(kp_dim=2, num_kps=29, temporal_dim=8, num_classes=5,
+              embed_dim=32, depths=2, num_heads=2, drop_rate=0.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 8, 29, 2)).astype(np.float32))
+    base = GATE(**kw)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    want = base.apply(variables, x, train=False)
+    got = GATE(**kw, attn_impl="ell").apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
