@@ -52,18 +52,40 @@ def parser():
                         "update (large effective batch at microbatch memory)")
     p.add_argument("--attn-impl", type=str, default="auto",
                    choices=["auto", "stacked", "pallas", "hybrid",
-                            "pallas_banded"],
+                            "pallas_banded", "banded", "compact", "ell"],
                    help="attention path: auto (pallas on TPU, stacked "
                         "elsewhere), stacked (jnp/XLA), pallas (fully-fused "
                         "kernel), hybrid (XLA GEMMs + fused masked-softmax); "
-                        "pallas_banded routes WGATE/GATE through the fused "
-                        "banded kernel")
+                        "banded/compact/ell/pallas_banded select the "
+                        "WGATE/GATE banded-family formulation")
+    p.add_argument("--prng", type=str, default="auto",
+                   choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
+                   help="PRNG implementation for dropout/prune keys. auto = "
+                        "rbg on TPU (hardware RNG: threefry dropout-bit "
+                        "generation measured 33.5ms of a 152.7ms flagship "
+                        "train step, rbg recovers 25ms — "
+                        "tools/kernel_batch32/33), threefry elsewhere")
     return p.parse_args()
+
+
+def configure_prng(choice: str = "auto") -> None:
+    """Select the PRNG implementation (see --prng). Must run before the
+    first key creation."""
+    import jax
+
+    if choice == "auto":
+        try:
+            choice = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+        except Exception:
+            return
+    jax.config.update("jax_default_prng_impl", choice)
 
 
 def run(cfg, progress=True):
     """Full train/test flow for a RunConfig. Returns final results dict."""
     import jax
+
+    configure_prng(getattr(cfg, "prng", "auto"))
 
     from sl_hwgat_tpu.data.dataset import get_loaders
     from sl_hwgat_tpu.models import MODEL_NUM_KPS, MODEL_RNG_STREAMS, build_model
@@ -181,8 +203,10 @@ def main():
         cfg.overrides = dict(cfg.overrides, compute_dtype=args.compute_dtype)
     if args.attn_impl != "auto" and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)
-    if args.attn_impl == "pallas_banded" and cfg.model_type in ("WGATE", "GATE"):
+    if (args.attn_impl in ("pallas_banded", "banded", "compact", "ell")
+            and cfg.model_type in ("WGATE", "GATE")):
         cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)
+    cfg.prng = args.prng
     if args.remat and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, remat=True)
     print(cfg.dataset)
