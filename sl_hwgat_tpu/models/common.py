@@ -169,3 +169,59 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var * bessel
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias
+
+
+class TransposedDense(nn.Module):
+    """Dense layer that EMITS its output feature-major: (…, n, din) →
+    (features, …, n), computed as one dot_general with the kernel as lhs —
+    no materialized transpose of the activation.
+
+    Param tree (kernel (din, features), bias (features,)) is identical to
+    ``nn.Dense`` with the same name, so checkpoints/imports are
+    interchangeable and a runtime layout switch (PALLAS_ATTN_TRANSPOSED)
+    does not change the parameter structure. Used by the transposed-score
+    attention path (`ops/pallas_attention.py::_fwd_kernel_ts*`), whose
+    streams want (U, dh, N) blocks.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = DENSE_INIT
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k = kernel.astype(self.dtype)
+        xx = x.astype(self.dtype)
+        y = jax.lax.dot_general(
+            k, xx, (((0,), (x.ndim - 1,)), ((), ())),
+            preferred_element_type=self.dtype)
+        bshape = (self.features,) + (1,) * (y.ndim - 1)
+        return y + bias.astype(y.dtype).reshape(bshape)
+
+
+class DenseFromTransposed(nn.Module):
+    """Projection that CONSUMES a feature-major activation: (g, h, dh, n) →
+    (g, n, features), contracting the (h, dh) axes against the kernel in one
+    dot_general — the inverse of ``TransposedDense``, again with the exact
+    ``nn.Dense`` param tree (kernel (h·dh, features), bias)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = DENSE_INIT
+
+    @nn.compact
+    def __call__(self, x_t):
+        g, h, dh, n = x_t.shape
+        kernel = self.param("kernel", self.kernel_init,
+                            (h * dh, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k = kernel.reshape(h, dh, self.features).astype(self.dtype)
+        y = jax.lax.dot_general(
+            x_t.astype(self.dtype), k, (((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=self.dtype)  # (g, n, features)
+        return y + bias.astype(y.dtype)

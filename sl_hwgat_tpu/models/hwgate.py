@@ -33,9 +33,11 @@ from flax import linen as nn
 from sl_hwgat_tpu.graphs.adjacency import windowed_block_adj
 from sl_hwgat_tpu.models.common import (
     DENSE_INIT,
+    DenseFromTransposed,
     FeedForward,
     FourierEmbed,
     PositionalEncoding,
+    TransposedDense,
     layer_norm,
 )
 from sl_hwgat_tpu.ops.attention import stacked_window_attention
@@ -122,18 +124,6 @@ class WindowedMSA(nn.Module):
             # via attn_impl='hybrid' / --attn-impl.
             impl = "pallas" if jax.default_backend() == "tpu" else "stacked"
 
-        # Separate q/k/v projections instead of a fused (d, 3d) qkv Dense:
-        # each kernel's output features are HEAD-MAJOR (h, dh), so a Megatron
-        # column split P(None, 'tp') lands exactly on head groups and stays
-        # expressible through every reshape down to the kernel call — the
-        # fused layout's (3, h, dh) column order makes the tp split cross the
-        # q/k boundary, which GSPMD can only fix by replicating (involuntary
-        # full remat at every stage-2 block, VERDICT r2 item 2).
-        qh = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="q")(x)
-        kh = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="k")(x)
-        vh = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="v")(x)
-        qh, kh, vh = (t.reshape(g, n, h, dh) for t in (qh, kh, vh))
-
         from sl_hwgat_tpu.parallel import kernel_sharding
 
         stack0, _ = _supertile_stack(n)
@@ -143,16 +133,16 @@ class WindowedMSA(nn.Module):
         # flat head-major contiguous split it replaces put EVERY mesh axis on
         # the head axis at stage 2 and forced a replicate+slice of q/k/v).
         factored = impl == "pallas" and tp > 1 and h % tp == 0
-        # Transposed kernel layout (U, dh, N): minor dim 128 — removes the
-        # 2× lane padding of (N, dh=64) blocks (see ops/pallas_attention.py
-        # ::_fwd_kernel_t). The qkv relayout costs the same either way.
-        # Only the single-fused-call paths consume it (the split fallback
-        # and stacked/hybrid impls stay row-major).
         import os
 
         # PALLAS_ATTN_TRANSPOSED: "1" = lane-softmax transposed kernel,
         # "tscore" = transposed-score (sublane-softmax) kernel — see
-        # ops/pallas_attention.py::_fwd_kernel_ts.
+        # ops/pallas_attention.py::_fwd_kernel_ts. The transposed (U, dh, N)
+        # streams are physically UNPADDED (minor dim 128 vs the 2×
+        # lane-padded (N, dh=64) blocks); the projections emit/consume the
+        # transposed layout directly via dot_general dimension numbers
+        # (TransposedDense/DenseFromTransposed), so no activation transpose
+        # is materialized around the kernel.
         t_env = os.environ.get("PALLAS_ATTN_TRANSPOSED", "0")
         use_t = (
             impl == "pallas"
@@ -161,16 +151,33 @@ class WindowedMSA(nn.Module):
             and (self.tail_shift_mask is None
                  or (self.windows_per_frame * h) % stack0 == 0)
         )
-        if factored:
-            q, k, v = (t.transpose(2, 0, 1, 3) for t in (qh, kh, vh))  # (H,G,N,dh)
-        elif use_t:
-            q, k, v = (t.transpose(0, 2, 3, 1).reshape(g * h, dh, n)
-                       for t in (qh, kh, vh))
+        # Separate q/k/v projections instead of a fused (d, 3d) qkv Dense:
+        # each kernel's output features are HEAD-MAJOR (h, dh), so a Megatron
+        # column split P(None, 'tp') lands exactly on head groups and stays
+        # expressible through every reshape down to the kernel call — the
+        # fused layout's (3, h, dh) column order makes the tp split cross the
+        # q/k boundary, which GSPMD can only fix by replicating (involuntary
+        # full remat at every stage-2 block, VERDICT r2 item 2).
+        if use_t:
+            # feature-major projections: (d, g, n) → (g·h, dh, n), only
+            # major-axis permutes (the token axis stays minor throughout)
+            q, k, v = (
+                TransposedDense(d, dtype=cdt, name=nm)(x)
+                .reshape(h, dh, g, n).transpose(2, 0, 1, 3).reshape(g * h, dh, n)
+                for nm in ("q", "k", "v")
+            )
         else:
-            # head-minor unit order (b, f, nW, h): contiguous dp/sp splits
-            # land on batch/frames, aligned with the producer sharding
-            q, k, v = (t.transpose(0, 2, 1, 3).reshape(g * h, n, dh)
-                       for t in (qh, kh, vh))
+            qh, kh, vh = (
+                nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name=nm)(x)
+                .reshape(g, n, h, dh) for nm in ("q", "k", "v")
+            )
+            if factored:
+                q, k, v = (t.transpose(2, 0, 1, 3) for t in (qh, kh, vh))  # (H,G,N,dh)
+            else:
+                # head-minor unit order (b, f, nW, h): contiguous dp/sp splits
+                # land on batch/frames, aligned with the producer sharding
+                q, k, v = (t.transpose(0, 2, 1, 3).reshape(g * h, n, dh)
+                           for t in (qh, kh, vh))
         if attn_bf16:
             q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
         elif q.dtype != jnp.float32:
@@ -284,10 +291,13 @@ class WindowedMSA(nn.Module):
                 out = jnp.concatenate(parts, axis=1).reshape(u, n, dh)
 
         if use_t:
-            # (U, dh, N) → (U, N, dh)
-            out = jnp.swapaxes(out, 1, 2)
-        out = out.astype(cdt).reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)
-        out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)
+            # consume the kernel's transposed (U, dh, N) output directly in
+            # the projection's dot_general — no materialized relayout
+            out = DenseFromTransposed(d, dtype=cdt, name="proj")(
+                out.astype(cdt).reshape(g, h, dh, n))
+        else:
+            out = out.astype(cdt).reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)
+            out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
 

@@ -45,9 +45,10 @@ class BandedMSA(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     compute_dtype: str = "float32"
-    # 'auto' → the measured winner (banded XLA; the fused Pallas banded kernel
-    # lost on-chip pre-transposed-layout, see ROADMAP); 'pallas_banded' →
-    # ops/pallas_banded.py fused kernel; 'banded' → force the jnp path.
+    # 'auto' → the measured winner (banded XLA — the compact, Pallas-fused,
+    # and ELL formulations all lose on-chip at these shapes, see ROADMAP
+    # policy table); 'compact' | 'ell' | 'pallas_banded' select the
+    # alternatives.
     attn_impl: str = "auto"
 
     @nn.compact
@@ -67,12 +68,16 @@ class BandedMSA(nn.Module):
             for nm in ("q", "k", "v")
         )
         band = jnp.asarray(self.band, jnp.float32)
-        # attn_impl 'auto' → the compact identity-temporal form (3× less
-        # SDDMM/SpMM work than the (V, 3V) band — the prev/next planes of
-        # this family's band are identity masks, `_band` above; numerically
-        # equal, see ops/attention.py::compact_banded_frame_attention).
-        # 'banded' forces the generic band; 'pallas_banded' the fused kernel.
-        compact = self.attn_impl in ("auto", "compact")
+        # attn_impl 'auto' → banded XLA, the measured on-chip winner.
+        # 'compact' selects the identity-temporal form (3× fewer SDDMM/SpMM
+        # FLOPs, numerically equal — ops/attention.py::compact_banded_
+        # frame_attention) — which LOSES on v5e (6.30ms vs 3.30ms fwd,
+        # tools/kernel_batch33): with V=29 both score layouts lane-pad to
+        # 128, so the "smaller" (V, V+2) tensor moves the same bytes and
+        # pays extra concat/slice relayouts. Kept selectable: the tradeoff
+        # flips wherever V·3 exceeds the lane width (V ≥ 43) or on hardware
+        # without 128-lane padding. 'pallas_banded' = the fused kernel.
+        compact = self.attn_impl == "compact"
         # Under make_sharded_steps with an sp axis, route through the explicit
         # edge-partitioned (halo-exchange) path (BASELINE config 5); falls
         # back to the plain banded op (GSPMD-propagated) otherwise.

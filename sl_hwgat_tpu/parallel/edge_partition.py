@@ -55,7 +55,7 @@ def halo_banded_attention(mesh: Mesh, axis: str = "sp", batch_axis: str = "dp"):
 
 
 def call_sharded_banded(q, k, v, band_mask, *, scale: float,
-                        impl: str = "compact"):
+                        impl: str = "banded"):
     """Route through the halo path if a context is active and the frame axis
     divides evenly; return None when not applicable (caller falls back to the
     unsharded op, which GSPMD still partitions over dp)."""
