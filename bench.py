@@ -97,8 +97,8 @@ def roofline_seconds(dtype: str, elem_bytes: int) -> tuple[float, float]:
     return t_compute, t_memory
 
 
-LAST_GOOD_STEP = {"time_us": 152663.3, "clips_per_sec": 104.8, "batch": 16,
-                  "measured": "2026-08-20T06:50Z"}
+LAST_GOOD_STEP = {"time_us": 127912.2, "clips_per_sec": 125.1, "batch": 16,
+                  "measured": "2026-08-20T09:30Z"}
 
 
 def step_metric():
@@ -115,9 +115,13 @@ def step_metric():
         cmd = [sys.executable,
                os.path.join(os.path.dirname(__file__), "bench_train_step.py"),
                "bf16", str(batch)]
+        env = dict(os.environ)
+        # production default (cli.py configure_prng: rbg on TPU) — threefry
+        # dropout-bit generation alone costs 33.5ms/step (kernel_batch32)
+        env.setdefault("SL_HWGAT_PRNG", "rbg")
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=CHILD_TIMEOUT_S)
+                                 timeout=CHILD_TIMEOUT_S, env=env)
             for line in out.stdout.splitlines():
                 if line.strip().startswith("{"):
                     rec = json.loads(line)
