@@ -806,6 +806,57 @@ def main():
             body = mmp
         else:
             raise SystemExit(f"unknown dma floor probe {impl}")
+    elif impl.startswith("xrelay_"):
+        # Batch-36: XLA relayout probes. The step profile (kernel_batch35)
+        # shows ~18ms/step of "attn/reshape" HBM ops — the (g,n,h,dh) →
+        # (g,h,n,dh) head-split transposes around the attention kernel.
+        # Measure the bare XLA cost of that transpose at stage shapes vs a
+        # same-bytes copy (roofline: ~95us for 100MB r+w at 1.05TB/s).
+        #   xrelay_copy_bf16 | xrelay_s0_bf16 (g6144,h2) | xrelay_s2_bf16
+        #   (g1536,h8) | and f32 variants | xrelay_s0pallas_bf16: the same
+        #   relayout as a trivial Pallas kernel (strided BlockSpec read).
+        base = impl[7:].removesuffix("_bf16").removesuffix("_f32")
+        dt = jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
+        N, DH = 32, 64
+        gg, hh = (6144, 2) if "s0" in base else (1536, 8)
+        x0 = jnp.asarray(r.normal(size=(gg, N, hh, DH)).astype(np.float32)).astype(dt)
+
+        if base == "copy":
+            x0 = x0.reshape(gg * hh, N, DH)
+            body = lambda t: t + jnp.asarray(1, dt)  # same-bytes r+w pass
+        elif base in ("s0", "s2"):
+            fwd = lambda t: t.transpose(0, 2, 1, 3).reshape(gg * hh, N, DH)
+            bwd = lambda t: t.reshape(gg, hh, N, DH).transpose(0, 2, 1, 3)
+            body = lambda t: bwd(fwd(t) + jnp.asarray(1, dt))  # round trip: 2 transposes
+        elif base in ("s0pallas", "s2pallas"):
+            import jax.experimental.pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            TGg = 16 // hh if hh <= 16 else 1
+
+            def kern(x_ref, o_ref):
+                # x block (TGg, N, hh, DH) → o block (TGg, hh, N, DH)
+                o_ref[:] = jnp.swapaxes(x_ref[:], 1, 2)
+
+            bi = pl.BlockSpec((TGg, N, hh, DH), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+            bo = pl.BlockSpec((TGg, hh, N, DH), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+            def prelay(t):
+                return pl.pallas_call(
+                    kern, grid=(gg // TGg,), in_specs=[bi], out_specs=bo,
+                    out_shape=jax.ShapeDtypeStruct((gg, hh, N, DH), dt),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel",)),
+                    interpret=jax.default_backend() != "tpu",
+                )(t)
+
+            body = lambda t: jnp.swapaxes(prelay(t), 1, 2)  # back via XLA? no —
+            # chain shape must match input: swap back cheaply in XLA for the loop
+        else:
+            raise SystemExit(f"unknown xrelay probe {impl}")
+        q = x0
     elif impl in ("matmul_only", "matmul_k128", "matmul_only_bf16"):
         # upper bound: the two supertile matmuls without masking/softmax.
         # matmul_k128 pads the contraction dim 64→128 with zeros: if the time
