@@ -43,6 +43,8 @@ def main():
         overrides["prune_attn"] = False
     if os.environ.get("SL_HWGAT_PE") == "0":
         overrides["pe"] = False
+    if os.environ.get("SL_HWGAT_STREAM"):
+        overrides["stream_dtype"] = os.environ["SL_HWGAT_STREAM"]
     ds = {"src_len": 192, "num_class": 2002}  # FDMSE-ISL (constants.py)
     model = build_model("HWGATE", ds, 2, **overrides)
 

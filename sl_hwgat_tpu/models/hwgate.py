@@ -182,6 +182,13 @@ class WindowedMSA(nn.Module):
             q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
         elif q.dtype != jnp.float32:
             q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
+        if os.environ.get("PALLAS_ATTN_RELAYOUT") == "split":
+            # probe knob: keep XLA from mega-fusing the head-split relayouts
+            # of q/k/v with surrounding passes (the fused form measured
+            # 345 GB/s moving ~375MB/block — tools/kernel_batch35/36)
+            import jax
+
+            q, k, v = jax.lax.optimization_barrier((q, k, v))
 
         prune_u = None
         if self.prune and train:
@@ -318,15 +325,23 @@ class PartAttentionBlock(nn.Module):
     attn_impl: str = "auto"
     attn_dtype: str = "float32"
     compute_dtype: str = "float32"
+    stream_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # stream_dtype 'bfloat16': the residual stream between blocks runs in
+        # bf16 (LN statistics still reduce in f32 via dtype promotion; only
+        # the LN OUTPUT is stored bf16) — halves the bytes of every
+        # LN/convert/relayout/GEMM-input pass over the (B,F,K,D) stream. The
+        # step profile (tools/kernel_batch35) showed those f32 passes, not
+        # compute, dominating the time above the roofline.
+        sdt = jnp.dtype(self.stream_dtype)
         b, f_total, k, d = x.shape
         shortcut = x
         if self.shift_size > 0:
             x = jnp.roll(x, -self.shift_size, axis=1)
         xw = window_partition(x, self.window_size, self.temporal_patch)
-        xw = layer_norm("norm1")(xw)
+        xw = layer_norm("norm1")(xw).astype(sdt)
         tail_mask = None
         if self.shift_size > 0:
             tail_mask = tuple(
@@ -350,11 +365,11 @@ class PartAttentionBlock(nn.Module):
         x = window_reverse(xw, self.window_size, self.temporal_patch, f_total, k)
         if self.shift_size > 0:
             x = jnp.roll(x, self.shift_size, axis=1)
-        x = shortcut + x
+        x = shortcut + x.astype(sdt)
         x = x + FeedForward(
             hidden=int(self.dim * self.ff_ratio), out=self.dim, drop_rate=self.drop,
             compute_dtype=self.compute_dtype, name="ff",
-        )(layer_norm("norm2")(x), train=train)
+        )(layer_norm("norm2")(x).astype(sdt), train=train).astype(sdt)
         return x
 
 
@@ -384,6 +399,10 @@ class HWGATE(nn.Module):
     # attention kernel in bf16 with f32 params/LN/softmax/head (the residual
     # stream and loss stay f32) — ~2x MXU peak on TPU.
     compute_dtype: str = "float32"
+    # 'bfloat16' additionally keeps the inter-block residual stream in bf16
+    # (LN stats still f32) — halves the HBM bytes of every pass over the
+    # stream; measured +17% train step (tools/kernel_batch37)
+    stream_dtype: str = "float32"
     # rematerialize each block's activations in the backward pass
     # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(depth) less
     # activation HBM — lifts the per-chip batch ceiling (b64 OOMs without it)
@@ -403,6 +422,7 @@ class HWGATE(nn.Module):
             x = PositionalEncoding(
                 self.embed_dim, self.temporal_dim, self.drop_rate, name="pos_encoder"
             )(x, train=train)
+        x = x.astype(jnp.dtype(self.stream_dtype))
 
         # static_argnums indexes flax's lifted call args (0=scope, 1=x,
         # 2=train); train must be static for the python control flow inside
@@ -425,6 +445,7 @@ class HWGATE(nn.Module):
                     attn_impl=self.attn_impl,
                     attn_dtype=self.attn_dtype,
                     compute_dtype=self.compute_dtype,
+                    stream_dtype=self.stream_dtype,
                     name=f"layers_{i}_blocks_{j}",
                 )(x, train)
             if i < num_layers - 1:

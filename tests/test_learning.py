@@ -59,9 +59,11 @@ def test_hwgate_overfits_deterministic_synthetic(tmp_path):
     assert last_loss < 0.75 * first_loss, (first_loss, last_loss)
 
 
-def test_hwgate_bf16_compute_learns(tmp_path):
+@pytest.mark.parametrize("stream", ["float32", "bfloat16"])
+def test_hwgate_bf16_compute_learns(tmp_path, stream):
     """Mixed precision (compute_dtype=bfloat16) must fit the same synthetic
-    task: catches precision bugs in the bf16 matmul/attention path."""
+    task: catches precision bugs in the bf16 matmul/attention path — and in
+    the bf16 RESIDUAL-STREAM fast path (stream_dtype=bfloat16)."""
     import jax
 
     from sl_hwgat_tpu.configs import build_eval_transform
@@ -82,7 +84,7 @@ def test_hwgate_bf16_compute_learns(tmp_path):
     model = HWGATE(
         kp_dim=2, temporal_dim=32, num_classes=8, embed_dim=32,
         depths=(1, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", stream_dtype=stream,
     )
 
     class Cfg:
