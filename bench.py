@@ -97,8 +97,8 @@ def roofline_seconds(dtype: str, elem_bytes: int) -> tuple[float, float]:
     return t_compute, t_memory
 
 
-LAST_GOOD_STEP = {"time_us": 127912.2, "clips_per_sec": 125.1, "batch": 16,
-                  "measured": "2026-08-20T09:30Z"}
+LAST_GOOD_STEP = {"time_us": 113456.8, "clips_per_sec": 141.0, "batch": 16,
+                  "measured": "2026-08-20T12:30Z"}
 
 
 def step_metric():

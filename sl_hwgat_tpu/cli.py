@@ -44,8 +44,8 @@ def parser():
                    help="mixed precision: bfloat16 runs every projection/FFN "
                         "matmul and the attention kernel in bf16 (params, "
                         "layernorm, softmax, head and loss stay f32)")
-    p.add_argument("--stream-dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"],
+    p.add_argument("--stream-dtype", type=str, default="auto",
+                   choices=["auto", "float32", "bfloat16"],
                    help="residual-stream dtype between blocks (HWGATE): "
                         "bfloat16 halves the HBM bytes of every pass over "
                         "the (B,F,K,D) stream; LN stats stay f32")
@@ -208,7 +208,7 @@ def main():
         cfg.overrides = dict(cfg.overrides, compute_dtype=args.compute_dtype)
     if args.attn_impl != "auto" and cfg.model_type in ("HWGATE", "HGATE"):
         cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)
-    if args.stream_dtype != "float32" and cfg.model_type == "HWGATE":
+    if args.stream_dtype != "auto" and cfg.model_type == "HWGATE":
         cfg.overrides = dict(cfg.overrides, stream_dtype=args.stream_dtype)
     if (args.attn_impl in ("pallas_banded", "banded", "compact", "ell")
             and cfg.model_type in ("WGATE", "GATE")):

@@ -399,14 +399,20 @@ class HWGATE(nn.Module):
     # attention kernel in bf16 with f32 params/LN/softmax/head (the residual
     # stream and loss stay f32) — ~2x MXU peak on TPU.
     compute_dtype: str = "float32"
-    # 'bfloat16' additionally keeps the inter-block residual stream in bf16
-    # (LN stats still f32) — halves the HBM bytes of every pass over the
-    # stream; measured +17% train step (tools/kernel_batch37)
-    stream_dtype: str = "float32"
+    # residual-stream dtype between blocks. 'auto' follows compute_dtype:
+    # the bf16 fast path keeps the stream bf16 too (LN stats still reduce in
+    # f32) — halves the HBM bytes of every pass over the stream; measured
+    # train 127.9→113.5ms and eval 47.7→39.1ms (tools/kernel_batch37).
+    # Set 'float32' to pin an f32 stream under bf16 compute.
+    stream_dtype: str = "auto"
     # rematerialize each block's activations in the backward pass
     # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(depth) less
     # activation HBM — lifts the per-chip batch ceiling (b64 OOMs without it)
     remat: bool = False
+
+    def _stream(self) -> str:
+        return (self.compute_dtype if self.stream_dtype == "auto"
+                else self.stream_dtype)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -422,7 +428,7 @@ class HWGATE(nn.Module):
             x = PositionalEncoding(
                 self.embed_dim, self.temporal_dim, self.drop_rate, name="pos_encoder"
             )(x, train=train)
-        x = x.astype(jnp.dtype(self.stream_dtype))
+        x = x.astype(jnp.dtype(self._stream()))
 
         # static_argnums indexes flax's lifted call args (0=scope, 1=x,
         # 2=train); train must be static for the python control flow inside
@@ -445,7 +451,7 @@ class HWGATE(nn.Module):
                     attn_impl=self.attn_impl,
                     attn_dtype=self.attn_dtype,
                     compute_dtype=self.compute_dtype,
-                    stream_dtype=self.stream_dtype,
+                    stream_dtype=self._stream(),
                     name=f"layers_{i}_blocks_{j}",
                 )(x, train)
             if i < num_layers - 1:
