@@ -31,7 +31,12 @@ def main():
 
     ds_name = sys.argv[1] if len(sys.argv) > 1 else "FDMSE-ISL"
     ds = DATASET_PARAMS[ds_name]
-    model = build_model("HWGATE", ds, 2)
+    # serving runs the bf16 fast path by default (argmax/top-k is insensitive
+    # to bf16 logit rounding; SL_SERVE_DTYPE=float32 opts out)
+    overrides = {}
+    if os.environ.get("SL_SERVE_DTYPE", "bfloat16") == "bfloat16":
+        overrides["compute_dtype"] = "bfloat16"
+    model = build_model("HWGATE", ds, 2, **overrides)
 
     class Cfg:
         seed = 0
@@ -44,7 +49,7 @@ def main():
 
     buckets = (1, 4, 16)
     pred = Predictor.from_checkpoint(path, model_type="HWGATE", dataset=ds_name,
-                                     batch_buckets=buckets)
+                                     batch_buckets=buckets, **overrides)
     rng = np.random.default_rng(0)
 
     def clip():
