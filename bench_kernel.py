@@ -857,6 +857,73 @@ def main():
         else:
             raise SystemExit(f"unknown xrelay probe {impl}")
         q = x0
+    elif impl.startswith("xstrided_"):
+        # Batch-39: can the fused kernel CONSUME the model layout directly?
+        # The attn relayout fusions move ~375MB/block — exactly the 2×
+        # lane-padded (.., 64)-minor kernel operands (batch-38 analysis).
+        # Reading the UNPADDED (g, n, h, dh) tensor with a strided BlockSpec
+        # (grid (g_tiles, h), block (TGg, n, 1, dh)) skips the materialized
+        # relayout entirely IF the 128B-run DMA sustains copy bandwidth.
+        #   xstrided_s0_bf16 (h=2) / xstrided_s2_bf16 (h=8): strided read →
+        #   row-major supertile write (the kernel's input acquisition cost).
+        #   xstrided_ref_bf16: same bytes from an already-flat (g*h, n, dh).
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        N, DH = 32, 64
+        base = impl[9:].removesuffix("_bf16")
+        gg, hh = (6144, 2) if base != "s2" else (1536, 8)
+        TGg = 64 // hh  # supertile rows: TGg·N per head-slice block
+        x0 = jnp.asarray(r.normal(size=(gg, N, hh, DH)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+
+        if base == "ref":
+            xf = x0.transpose(0, 2, 1, 3).reshape(gg * hh, N, DH)
+
+            def kernf(x_ref, o_ref):
+                o_ref[:] = x_ref[:]
+
+            tile = pl.BlockSpec((TGg * hh, N, DH), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+            def runf(t):
+                return pl.pallas_call(
+                    kernf, grid=(gg // TGg,), in_specs=[tile], out_specs=tile,
+                    out_shape=jax.ShapeDtypeStruct((gg * hh, N, DH), jnp.bfloat16),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel",)),
+                    interpret=jax.default_backend() != "tpu",
+                )(t)
+
+            q = xf
+            body = runf
+        else:
+            def kern(x_ref, o_ref):
+                o_ref[:] = x_ref[:, :, 0]  # (TGg, N, DH)
+
+            bi = pl.BlockSpec((TGg, N, 1, DH), lambda i, j: (i, 0, j, 0),
+                              memory_space=pltpu.VMEM)
+            bo = pl.BlockSpec((TGg, N, DH), lambda i, j: (j * (gg // TGg) + i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+            def run(t):
+                return pl.pallas_call(
+                    kern, grid=(gg // TGg, hh), in_specs=[bi], out_specs=bo,
+                    out_shape=jax.ShapeDtypeStruct((gg * hh, N, DH), jnp.bfloat16),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel", "parallel")),
+                    interpret=jax.default_backend() != "tpu",
+                )(t)
+
+            # chain on the flat output; regenerate the 4-D view each iter via
+            # reshape (major-axis only: (g*h,N,DH) → h-minor is wrong order —
+            # use a fixed input and chain on a dummy scalar add instead)
+            def body_(t):
+                y = run(x0 + t[0, 0, 0].astype(jnp.bfloat16) * 0)
+                return y
+
+            q = jnp.zeros((gg * hh, N, DH), jnp.bfloat16)
+            body = body_
     elif impl in ("matmul_only", "matmul_k128", "matmul_only_bf16"):
         # upper bound: the two supertile matmuls without masking/softmax.
         # matmul_k128 pads the contraction dim 64→128 with zeros: if the time

@@ -104,11 +104,25 @@ class Predictor:
         return {"feat": np.array(clip, np.float32, copy=True),
                 "vid_width": 1, "vid_height": 1}
 
+    def _prep_pool(self):
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = self._pool = ThreadPoolExecutor(max_workers=8)
+        return pool
+
     def predict_logits(self, clips: Sequence) -> np.ndarray:
         """Raw keypoint clips (pose-extract payload dicts or (F_i, K, C)
         arrays) → (len(clips), num_classes) logits."""
-        xs = [np.asarray(self.transform(self._payload(c)), np.float32)
-              for c in clips]
+        # host preprocessing dominates end-to-end serving latency (measured:
+        # device fwd ≈2.4ms/clip vs ~11ms/clip of numpy/scipy transforms) —
+        # fan the per-clip transforms out on a thread pool
+        prep = (lambda c: np.asarray(self.transform(self._payload(c)), np.float32))
+        if len(clips) > 1:
+            xs = list(self._prep_pool().map(prep, clips))
+        else:
+            xs = [prep(clips[0])]
         shape = xs[0].shape
         if any(x.shape != shape for x in xs):
             raise ValueError(f"transform produced inconsistent shapes: "
