@@ -60,9 +60,12 @@ CONFIGS = [
 ]
 
 # Last successful on-chip measurement, used only when every child wedges.
-LAST_GOOD = {"time_us": 479.1, "edges": 12288 * 164,
+LAST_GOOD = {"time_us": 527.4, "edges": 12288 * 164,
              "name": "fused_tscore_batched_bf16",
-             "dtype": "bfloat16", "bytes": 2, "measured": "2026-08-20T06:30Z"}
+             "dtype": "bfloat16", "bytes": 2, "measured": "2026-08-20T13:50Z"}
+# (best recorded: 479.1µs ≈ 0.99 roofline, 2026-08-20T06:30Z; the 527µs
+# re-measurement later the same day is kept as the conservative fallback —
+# chip/relay variance, same kernel config.)
 
 
 def run_child(impl: str, env_overlay: dict, timeout_s: int):
@@ -97,8 +100,8 @@ def roofline_seconds(dtype: str, elem_bytes: int) -> tuple[float, float]:
     return t_compute, t_memory
 
 
-LAST_GOOD_STEP = {"time_us": 113456.8, "clips_per_sec": 141.0, "batch": 16,
-                  "measured": "2026-08-20T12:30Z"}
+LAST_GOOD_STEP = {"time_us": 113763.7, "clips_per_sec": 140.6, "batch": 16,
+                  "measured": "2026-08-20T13:55Z"}
 
 
 def step_metric():
