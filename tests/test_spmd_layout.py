@@ -33,6 +33,24 @@ def test_no_involuntary_full_remat():
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+@pytest.mark.slow
+def test_dryrun_multichip_without_driver_env():
+    """Driver-interface regression: `dryrun_multichip` must self-apply the
+    CPU-platform override when invoked in a bare process (the image
+    sitecustomize otherwise pins the single-chip TPU tunnel and the mesh
+    construction fails with one device)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "dryrun_multichip OK" in r.stdout
+    assert "Involuntary full rematerialization" not in r.stderr
+
+
 def _mesh():
     from sl_hwgat_tpu.parallel import make_mesh
 
