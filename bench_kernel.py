@@ -669,6 +669,152 @@ def main():
 
         q = vt0
         body = run
+    elif impl.startswith("tsw_"):
+        # Batch-41: MODEL-LAYOUT ("wide") transposed-score probes — round-4
+        # queue #1. The production row-major path pays ~1.08ms/block of XLA
+        # attn/reshape fusions writing 2×-lane-padded (·,·,64)-minor kernel
+        # operands; the tscore path killed the padding but lost in-model to
+        # the major-permute (h,dh,g,n)→(g·h,dh,n)→(t,dh,sn) around the call.
+        # Here the kernel consumes the TransposedDense output DIRECTLY:
+        # (h·dh, g, n) viewed as (H, DH, (g/4)·128) — a PURE RESHAPE (the
+        # (g, n) axes are contiguous), zero relayout in or out. Blocks are
+        # (1, DH, TG·SN) (last two dims (64, TG·128): 8/128-aligned, Mosaic-
+        # legal); per-supertile planes are 128-aligned static lane slices,
+        # which select whole (8,128) tiles — the probe measures whether that
+        # slicing is free (unlike the sub-128 lp lane-slice tax, 1271µs).
+        #   tsw_floor : zero-compute stream floor of the wide layout
+        #   tsw_fused : unrolled tscore schedule on lane-sliced planes
+        #   tsw_bstack: in-VMEM stack of slices → batched dots (tmq_bfused
+        #               form, 487µs when fed pre-tiled blocks)
+        #   tsw1_fused: one supertile per grid step ((1,DH,SN) blocks, no
+        #               slicing) — measures the tiny-block grid overhead
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from sl_hwgat_tpu.ops.pallas_attention import _nomax, _tile_masks
+
+        T, SN, DH, H = units // 4, 128, 64, 8
+        TH = T // H  # supertiles per head row
+        TG = int(os.environ.get("PALLAS_ATTN_TG", "16"))
+        base = impl[4:]
+        allowed_m, fill_m = _tile_masks(np.asarray(adj), 32, 32, 4)
+        allowed_T, fill_T = allowed_m.T.copy(), fill_m.T.copy()
+        nomax = _nomax()
+
+        def dot_tt(a, b):
+            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def dot_nn(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def masked_softmax_T(st, allowed_t, fill_t):
+            keep = (allowed_t != 0) & (st != 0)
+            st = jnp.where(keep, st, fill_t)
+            if nomax:
+                a = jnp.exp(st)
+            else:
+                a = jnp.exp(st - jnp.max(st, axis=0, keepdims=True))
+            return a / jnp.sum(a, axis=0, keepdims=True)
+
+        def bdot(a, b, ca, cb):
+            return jax.lax.dot_general(
+                a, b, (((ca,), (cb,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        def masked_softmax_Tb(st, allowed_t, fill_t):
+            keep = (allowed_t[None] != 0) & (st != 0)
+            st = jnp.where(keep, st, fill_t[None])
+            if nomax:
+                a = jnp.exp(st)
+            else:
+                a = jnp.exp(st - jnp.max(st, axis=1, keepdims=True))
+            return a / jnp.sum(a, axis=1, keepdims=True)
+
+        one_tile = base.startswith("1")  # tsw1_*
+        if one_tile:
+            base = base.split("_", 1)[1]
+
+        if one_tile:
+            def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                qg = qt_ref[0]
+                st = dot_tt(kt_ref[0], qg * jnp.asarray(0.125, qg.dtype))
+                at = masked_softmax_T(st, al_ref[:], fl_ref[:])
+                o_ref[0] = dot_nn(vt_ref[0], at.astype(jnp.bfloat16)
+                                  ).astype(jnp.bfloat16)
+        elif base == "floor":
+            def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                qs = jnp.sum(qt_ref[0].astype(jnp.float32))
+                ks = jnp.sum(kt_ref[0].astype(jnp.float32))
+                o_ref[0] = (vt_ref[0].astype(jnp.float32)
+                            * (qs + ks)).astype(jnp.bfloat16)
+        elif base == "fused":
+            def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                qw = qt_ref[0]
+                kw = kt_ref[0]
+                vw = vt_ref[0]
+                for g in range(TG):
+                    sl = slice(g * SN, (g + 1) * SN)
+                    qg = qw[:, sl]
+                    st = dot_tt(kw[:, sl], qg * jnp.asarray(0.125, qg.dtype))
+                    at = masked_softmax_T(st, al_ref[:], fl_ref[:])
+                    o_ref[0, :, sl] = dot_nn(
+                        vw[:, sl], at.astype(jnp.bfloat16)).astype(jnp.bfloat16)
+        elif base == "bstack":
+            def kern(qt_ref, kt_ref, vt_ref, al_ref, fl_ref, o_ref):
+                def tiles(w):  # (DH, TG·SN) → (TG, DH, SN) in-VMEM gather
+                    return jnp.stack(
+                        [w[:, g * SN:(g + 1) * SN] for g in range(TG)])
+
+                q3 = tiles(qt_ref[0])
+                st = bdot(tiles(kt_ref[0]),
+                          q3 * jnp.asarray(0.125, q3.dtype), 1, 1)
+                at = masked_softmax_Tb(st, al_ref[:], fl_ref[:])
+                o3 = bdot(tiles(vt_ref[0]), at.astype(jnp.bfloat16), 2, 1)
+                o_ref[0] = jnp.concatenate(
+                    [o3[g] for g in range(TG)], axis=1).astype(jnp.bfloat16)
+        else:
+            raise SystemExit(f"unknown tsw probe {impl}")
+
+        _nb = os.environ.get("PALLAS_ATTN_BUFS")
+        _pm = pl.Buffered(buffer_count=int(_nb)) if _nb else None
+        if one_tile:
+            tile_w = pl.BlockSpec((1, DH, SN), lambda ih, it: (ih, 0, it),
+                                  memory_space=pltpu.VMEM, pipeline_mode=_pm)
+            grid = (H, TH)
+            sem = ("parallel", "parallel")
+        else:
+            tile_w = pl.BlockSpec((1, DH, TG * SN),
+                                  lambda ih, it: (ih, 0, it),
+                                  memory_space=pltpu.VMEM, pipeline_mode=_pm)
+            grid = (H, TH // TG)
+            sem = ("parallel", "parallel")
+        mask = pl.BlockSpec((SN, SN), lambda ih, it: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+        def widen(x):  # (T, SN, DH) rm → (H, DH, TH·SN) model-wide layout
+            return jnp.swapaxes(x.reshape(H, TH, SN, DH), 2, 3).reshape(
+                H, TH, DH, SN).transpose(0, 2, 1, 3).reshape(H, DH, TH * SN)
+
+        qt0 = widen(q.reshape(T, SN, DH)).astype(jnp.bfloat16)
+        kt0 = widen(k.reshape(T, SN, DH)).astype(jnp.bfloat16)
+        vt0 = widen(v.reshape(T, SN, DH)).astype(jnp.bfloat16)
+
+        def run(vv):
+            # chain on the (H, DH, TH·SN) v stream; q/k captured constants
+            return pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[tile_w, tile_w, tile_w, mask, mask],
+                out_specs=tile_w,
+                out_shape=jax.ShapeDtypeStruct((H, DH, TH * SN), jnp.bfloat16),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=sem),
+                interpret=jax.default_backend() != "tpu",
+            )(qt0, kt0, vv, jnp.asarray(allowed_T), jnp.asarray(fill_T))
+
+        q = vt0
+        body = run
     elif impl == "lp_fused_bf16":
         # LANE-PACKED TRANSPORT probe: batch-22 showed the fused kernel sits
         # within 2% of its zero-compute stream floor, and streams are 2×
