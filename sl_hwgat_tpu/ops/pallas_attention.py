@@ -483,6 +483,131 @@ def _bwd_kernel_ts_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref,
     dk_ref[:] = (_bdot(q, dst, 2, 2) * scale).astype(dt)   # (TG, DH, SN_k)
 
 
+def _fwd_kernel_wide(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref,
+                     fill_ref, o_ref, *, scale, zero_quirk, prune,
+                     tiles_per_step, dual, sn):
+    """Model-layout ("wide") transposed-score forward (round-4 queue #1).
+
+    Blocks are (1, DH, TG·SN) lane-major slabs of the (H, DH, G·N) array —
+    a PURE VIEW of the TransposedDense output (h·dh, g, n): the (g, n) axes
+    are contiguous, so the model feeds the kernel with ZERO relayout (the
+    row-major path pays ~1.08ms/block of 2×-lane-padded attn/reshape
+    fusions; the earlier tscore path paid a major permute instead). Each
+    supertile is a 128-aligned static lane slice — whole (8, 128) tiles, no
+    sub-lane extracts. Schedule per tile ≡ ``_fwd_kernel_ts`` (Sᵀ, sublane
+    softmax, Oᵀ = Vᵀ Aᵀ). Units are h-major (h, b, f, nW); the sel vector
+    indexes supertiles within ONE head row (grid axis 1)."""
+    pu = u_ref[0] if prune else None
+    qw = q_ref[0]
+    kw = k_ref[0]
+    vw = v_ref[0]
+    for g in range(tiles_per_step):
+        sl = slice(g * sn, (g + 1) * sn)
+        if dual:
+            sel = sel_ref[pl.program_id(1) * tiles_per_step + g] == 1
+            allowed_t = jnp.where(sel, allowed_ref[1], allowed_ref[0])
+            fill_t = jnp.where(sel, fill_ref[1], fill_ref[0])
+        else:
+            allowed_t, fill_t = allowed_ref[:], fill_ref[:]
+        qg = qw[:, sl]
+        st = jax.lax.dot_general(
+            kw[:, sl], qg * jnp.asarray(scale, qg.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        at, _ = _masked_attn_matrix_ts(st, allowed_t, fill_t, pu, zero_quirk)
+        vg = vw[:, sl]
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            vg, at.astype(vg.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel_wide(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref,
+                     fill_ref, dq_ref, dk_ref, dv_ref, *, scale, zero_quirk,
+                     prune, tiles_per_step, dual, sn):
+    """Wide-layout backward: per-supertile lane slices, contractions ≡
+    ``_bwd_kernel_ts`` (all gradients emitted in the same wide layout the
+    projections consume)."""
+    pu = u_ref[0] if prune else None
+    qw = q_ref[0]
+    kw = k_ref[0]
+    vw = v_ref[0]
+    dow = do_ref[0]
+    for g in range(tiles_per_step):
+        sl = slice(g * sn, (g + 1) * sn)
+        if dual:
+            sel = sel_ref[pl.program_id(1) * tiles_per_step + g] == 1
+            allowed_t = jnp.where(sel, allowed_ref[1], allowed_ref[0])
+            fill_t = jnp.where(sel, fill_ref[1], fill_ref[0])
+        else:
+            allowed_t, fill_t = allowed_ref[:], fill_ref[:]
+        q = qw[:, sl]
+        k = kw[:, sl]
+        v = vw[:, sl]
+        dt = q.dtype
+        do = dow[:, sl].astype(dt)
+        st = jax.lax.dot_general(
+            k, q * jnp.asarray(scale, dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        at, st_masked = _masked_attn_matrix_ts(st, allowed_t, fill_t, pu,
+                                               zero_quirk)
+        at_lp = at.astype(dt)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            do, at_lp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+        dat = jax.lax.dot_general(
+            v, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dst = at * (dat - jnp.sum(dat * at, axis=0, keepdims=True))
+        dst = (dst * (st_masked == st).astype(jnp.float32)).astype(dt)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            k, dst, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dt)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            q, dst, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dt)
+
+
+def _call_wide(kernel, n_out, h, t_h, sn, dh, tiles_per_step, args, interpret,
+               out_dtype=jnp.float32, dual=False):
+    """2-D grid pallas_call for the wide layout: grid (H, T_h/TG), blocks
+    (1, DH, TG·SN) slabs of the (H, DH, T_h·SN) arrays."""
+    grid = (h, t_h // tiles_per_step)
+    nbuf = _n_buffers()
+    pmode = None if nbuf is None else pl.Buffered(buffer_count=nbuf)
+    tile_spec = pl.BlockSpec((1, dh, tiles_per_step * sn),
+                             lambda ih, it: (ih, 0, it),
+                             memory_space=pltpu.VMEM, pipeline_mode=pmode)
+    if dual:
+        mask_spec = pl.BlockSpec((2, sn, sn), lambda ih, it: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((sn, sn), lambda ih, it: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1,), lambda ih, it: (0,),
+                               memory_space=pltpu.SMEM)
+    sel_spec = pl.BlockSpec((t_h,), lambda ih, it: (0,),
+                            memory_space=pltpu.SMEM)
+    n_tensor_in = len(args) - 4
+    in_specs = [scalar_spec, sel_spec] + [tile_spec] * n_tensor_in + [
+        mask_spec, mask_spec]
+    out_specs = tuple([tile_spec] * n_out) if n_out > 1 else tile_spec
+    shape = jax.ShapeDtypeStruct((h, dh, t_h * sn), out_dtype)
+    out_shape = tuple([shape] * n_out) if n_out > 1 else shape
+    params = {}
+    import os
+
+    if os.environ.get("PALLAS_ATTN_PARSEM", "1") == "1":
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **params,
+    )(*args)
+
+
 def _fwd_kernel_ts(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref, fill_ref,
                    o_ref, *, scale, zero_quirk, prune, tiles_per_step, dual):
     """Transposed-score forward (the batch-27/28 'tmx/tmq' schedule): streams
@@ -715,6 +840,33 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
                    pad_tokens, zero_quirk_tail):
     zero_quirk, tail, out_dtype, transposed = zero_quirk_tail
     tscore = transposed in ("tscore", "tscore_prepacked")
+    if transposed == "wide":
+        # (H, DH, T_h, SN): a pure view of the TransposedDense output —
+        # zero-relayout entry (see _fwd_kernel_wide)
+        h, dh, t_h, sn = q.shape
+        np_ = sn // stack
+        n = np_  # wide mode requires pad_tokens is None (caller-checked)
+        allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
+        allowed_m = np.swapaxes(allowed_m, -1, -2).copy()
+        fill_m = np.swapaxes(fill_m, -1, -2).copy()
+        tiles_per_step, t_pad = _pick_tiles_per_step(t_h, sn, dh)
+        qs, ks, vs = (x.reshape(h, dh, t_h * sn) for x in (q, k, v))
+        if t_pad != t_h:
+            padw = [(0, 0), (0, 0), (0, (t_pad - t_h) * sn)]
+            qs, ks, vs = (jnp.pad(x, padw) for x in (qs, ks, vs))
+            sel_p = jnp.pad(sel, (0, t_pad - t_h))
+        else:
+            sel_p = sel
+        kern = functools.partial(
+            _fwd_kernel_wide, scale=scale, zero_quirk=zero_quirk, prune=prune,
+            tiles_per_step=tiles_per_step, dual=dual, sn=sn)
+        o = _call_wide(
+            kern, 1, h, t_pad, sn, dh, tiles_per_step,
+            (u_val, sel_p, qs, ks, vs, jnp.asarray(allowed_m),
+             jnp.asarray(fill_m)),
+            _interpret(), out_dtype=jnp.dtype(out_dtype), dual=dual)
+        out = o[:, :, : t_h * sn].reshape(h, dh, t_h, sn)
+        return out, (q, k, v, u_val, sel)
     if transposed in ("prepacked", "tscore_prepacked"):
         t, dh, sn = q.shape
         np_ = sn // stack
@@ -773,6 +925,33 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
     q, k, v, u_val, sel = res
     if transposed in ("prepacked", "tscore_prepacked"):
         raise NotImplementedError("prepacked is a forward-only bench mode")
+    if transposed == "wide":
+        h, dh, t_h, sn = q.shape
+        np_ = sn // stack
+        allowed_m, fill_m, dual = _masks(adj_key, tail, np_, np_, stack)
+        allowed_m = np.swapaxes(allowed_m, -1, -2).copy()
+        fill_m = np.swapaxes(fill_m, -1, -2).copy()
+        tiles_per_step, t_pad = _pick_tiles_per_step(t_h, sn, dh)
+        qs, ks, vs, gs = (x.reshape(h, dh, t_h * sn) for x in (q, k, v, g))
+        if t_pad != t_h:
+            padw = [(0, 0), (0, 0), (0, (t_pad - t_h) * sn)]
+            qs, ks, vs, gs = (jnp.pad(x, padw) for x in (qs, ks, vs, gs))
+            sel_p = jnp.pad(sel, (0, t_pad - t_h))
+        else:
+            sel_p = sel
+        kern = functools.partial(
+            _bwd_kernel_wide, scale=scale, zero_quirk=zero_quirk, prune=prune,
+            tiles_per_step=tiles_per_step, dual=dual, sn=sn)
+        dq, dk, dv = _call_wide(
+            kern, 3, h, t_pad, sn, dh, tiles_per_step,
+            (u_val, sel_p, qs, ks, vs, gs, jnp.asarray(allowed_m),
+             jnp.asarray(fill_m)),
+            _interpret(), out_dtype=q.dtype, dual=dual)
+
+        def unw(x):
+            return x[:, :, : t_h * sn].reshape(h, dh, t_h, sn)
+
+        return unw(dq), unw(dk), unw(dv), None, None
     if transposed:
         u_units, dh, n = q.shape
         (qs, _, _, _), (ks, _, _, _), (vs, _, _, _), (gs, t, sn, np_) = (
@@ -896,20 +1075,34 @@ def pallas_window_attention(q, k, v, adj: np.ndarray, *, scale: float,
     for shard layouts whose units are not globally contiguous (the factored
     head/group sharding in `parallel/kernel_sharding.py::call_factored`).
     """
-    if transposed not in (False, True, "prepacked", "tscore", "tscore_prepacked"):
+    if transposed not in (False, True, "prepacked", "tscore",
+                          "tscore_prepacked", "wide"):
         # an unknown string is truthy and would silently take the transposed
         # lane-softmax path with wrong-layout inputs (ADVICE r2)
         raise ValueError(f"unknown transposed mode: {transposed!r}")
+    if transposed == "wide":
+        # q/k/v: (H, DH, T_h, SN) — the (h·dh, g, n) TransposedDense output
+        # viewed with groups packed `stack` per supertile; units are h-major,
+        # so `units_per_group`/`sel` count GROUPS within one head row.
+        if pad_tokens is not None:
+            raise ValueError("wide mode requires unpadded tokens "
+                             "(stack*n == SN)")
+        if q.ndim != 4:
+            raise ValueError("wide mode takes (H, DH, T_h, SN) inputs")
     key = _cache_adj(adj)
     tail = None
     if tail_adj is not None:
         tail = (_cache_adj(tail_adj), int(units_per_group), int(groups))
     prune = prune_u is not None
     u_val = jnp.asarray([prune_u if prune else 0.0], jnp.float32)
-    n_units = q.shape[0] * (
-        stack if transposed in ("prepacked", "tscore_prepacked") else 1)
+    if transposed == "wide":
+        n_tiles = q.shape[2]  # supertiles per head row
+    else:
+        n_tiles = q.shape[0] * (
+            stack if transposed in ("prepacked", "tscore_prepacked") else 1
+        ) // stack
     if sel is None:
-        sel = _make_sel(n_units // stack, stack, tail, unit_offset)
+        sel = _make_sel(n_tiles, stack, tail, unit_offset)
     else:
         sel = jnp.asarray(sel, jnp.int32)
     # out_dtype (default f32): bf16 halves the kernel's HBM write traffic —

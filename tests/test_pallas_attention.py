@@ -392,3 +392,106 @@ def test_odd_supertile_dual_mask():
     want_t = stacked_window_attention(q[12:], k[12:], v[12:], tail, scale=0.25, stack=4)
     np.testing.assert_allclose(np.asarray(got[:12]), np.asarray(want), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got[12:]), np.asarray(want_t), atol=1e-5)
+
+
+class TestWide:
+    """Model-layout ("wide") kernel (``transposed="wide"``): q/k/v arrive as
+    (H, DH, T_h, SN) — the pure view of the feature-major (h·dh, g, n)
+    projection output with groups packed ``stack`` per supertile, units
+    h-major. Must match the row-major kernel on the same units."""
+
+    H, G, N, DH = 2, 12, 32, 16
+    STACK = 4
+
+    def _qkv(self, seed=30):
+        r = np.random.default_rng(seed)
+        return tuple(
+            jnp.asarray(r.normal(
+                size=(self.H * self.G, self.N, self.DH)).astype(np.float32))
+            for _ in range(3)
+        )
+
+    def _widen(self, x):
+        h, g, st, n, dh = (self.H, self.G, self.STACK, self.N, self.DH)
+        return jnp.asarray(x).reshape(h, g // st, st, n, dh).transpose(
+            0, 4, 1, 2, 3).reshape(h, dh, g // st, st * n)
+
+    def _unwiden(self, y):
+        h, g, st, n, dh = (self.H, self.G, self.STACK, self.N, self.DH)
+        return y.reshape(h, dh, g // st, st, n).transpose(
+            0, 2, 3, 4, 1).reshape(h * g, n, dh)
+
+    def test_forward_matches_rowmajor(self):
+        q, k, v = self._qkv()
+        want = pallas_window_attention(q, k, v, ADJ32, scale=0.25,
+                                       stack=self.STACK)
+        got = pallas_window_attention(
+            *(self._widen(t) for t in (q, k, v)), ADJ32,
+            scale=0.25, stack=self.STACK, transposed="wide")
+        np.testing.assert_allclose(
+            np.asarray(self._unwiden(got)), np.asarray(want), atol=1e-5)
+
+    def test_dual_mask_and_prune_match(self):
+        # per head row: 3 temporal groups of 4 groups → tail every 12 groups
+        q, k, v = self._qkv(seed=31)
+        r = np.random.default_rng(5)
+        tail = ADJ32 * (r.random(ADJ32.shape) > 0.3)
+        want = pallas_window_attention(
+            q, k, v, ADJ32, scale=0.25, stack=self.STACK, tail_adj=tail,
+            units_per_group=4, groups=3, prune_u=0.4)
+        got = pallas_window_attention(
+            *(self._widen(t) for t in (q, k, v)), ADJ32,
+            scale=0.25, stack=self.STACK, tail_adj=tail,
+            units_per_group=4, groups=3, prune_u=0.4, transposed="wide")
+        np.testing.assert_allclose(
+            np.asarray(self._unwiden(got)), np.asarray(want), atol=1e-5)
+
+    def test_gradients_match_rowmajor(self):
+        q, k, v = self._qkv(seed=32)
+
+        def loss_rm(q, k, v):
+            o = pallas_window_attention(q, k, v, ADJ32, scale=0.25,
+                                        stack=self.STACK)
+            return jnp.sum(jnp.sin(o))
+
+        def loss_w(qw, kw, vw):
+            o = pallas_window_attention(qw, kw, vw, ADJ32, scale=0.25,
+                                        stack=self.STACK, transposed="wide")
+            return jnp.sum(jnp.sin(self._unwiden(o)))
+
+        want = jax.grad(loss_rm, argnums=(0, 1, 2))(q, k, v)
+        got = jax.grad(loss_w, argnums=(0, 1, 2))(
+            *(self._widen(t) for t in (q, k, v)))
+        for name, w, g in zip("qkv", want, got):
+            np.testing.assert_allclose(
+                np.asarray(self._unwiden(g)), np.asarray(w), atol=2e-5,
+                err_msg=name)
+
+    def test_bf16_store_matches(self):
+        q, k, v = self._qkv(seed=33)
+        want = pallas_window_attention(q, k, v, ADJ32, scale=0.25,
+                                       stack=self.STACK, out_dtype=jnp.bfloat16)
+        got = pallas_window_attention(
+            *(self._widen(t) for t in (q, k, v)), ADJ32, scale=0.25,
+            stack=self.STACK, out_dtype=jnp.bfloat16, transposed="wide")
+        np.testing.assert_allclose(
+            np.asarray(self._unwiden(got)).astype(np.float32),
+            np.asarray(want).astype(np.float32), atol=4e-3)
+
+    def test_odd_tile_count_pads(self):
+        # T_h = 3 per head row with preferred tg → pad path exercises the
+        # lane-axis padding + sel padding
+        q, k, v = self._qkv(seed=34)
+        import os
+
+        os.environ["PALLAS_ATTN_TG"] = "2"
+        try:
+            got = pallas_window_attention(
+                *(self._widen(t) for t in (q, k, v)), ADJ32,
+                scale=0.25, stack=self.STACK, transposed="wide")
+        finally:
+            del os.environ["PALLAS_ATTN_TG"]
+        want = pallas_window_attention(q, k, v, ADJ32, scale=0.25,
+                                       stack=self.STACK)
+        np.testing.assert_allclose(
+            np.asarray(self._unwiden(got)), np.asarray(want), atol=1e-5)
