@@ -225,3 +225,28 @@ class DenseFromTransposed(nn.Module):
             x_t.astype(self.dtype), k, (((1, 2), (0, 1)), ((), ())),
             preferred_element_type=self.dtype)  # (g, n, features)
         return y + bias.astype(y.dtype)
+
+
+class DenseFromWide(nn.Module):
+    """Projection that CONSUMES the wide-kernel output layout (h, dh, g, n)
+    → (g, n, features): one dot_general contracting the leading (h, dh)
+    axes — the wide attention path's zero-relayout exit (the array is the
+    kernel's (H, DH, T_h, SN) output viewed with (g, n) split, which is
+    free). Param tree ≡ ``nn.Dense`` (kernel (h·dh, features), bias)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = DENSE_INIT
+
+    @nn.compact
+    def __call__(self, x_w):
+        h, dh, g, n = x_w.shape
+        kernel = self.param("kernel", self.kernel_init,
+                            (h * dh, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k = kernel.reshape(h, dh, self.features).astype(self.dtype)
+        y = jax.lax.dot_general(
+            x_w.astype(self.dtype), k, (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=self.dtype)  # (g, n, features)
+        return y + bias.astype(y.dtype)

@@ -34,6 +34,7 @@ from sl_hwgat_tpu.graphs.adjacency import windowed_block_adj
 from sl_hwgat_tpu.models.common import (
     DENSE_INIT,
     DenseFromTransposed,
+    DenseFromWide,
     FeedForward,
     FourierEmbed,
     PositionalEncoding,
@@ -151,6 +152,27 @@ class WindowedMSA(nn.Module):
             and (self.tail_shift_mask is None
                  or (self.windows_per_frame * h) % stack0 == 0)
         )
+        # 'wide' (round-4 #1): the kernel consumes the (h·dh, g, n)
+        # TransposedDense output as a PURE VIEW (H, DH, G/stack, stack·n) —
+        # no relayout in, none out (DenseFromWide contracts (h, dh) directly).
+        # Units are h-major; supertiles stack `stack0` consecutive groups, so
+        # shifted blocks need windows_per_frame % stack == 0 (a supertile
+        # never straddles temporal groups). Single-chip layout: disabled
+        # under a sharded-attention context.
+        stack0_pad = _supertile_stack(n)[1]
+        use_wide = (
+            impl == "pallas"
+            and not factored
+            and t_env == "wide"
+            and stack0_pad is None
+            and (stack0 * n) % 128 == 0
+            and g % stack0 == 0
+            and (self.tail_shift_mask is None
+                 or self.windows_per_frame % stack0 == 0)
+            and not kernel_sharding.has_context()
+        )
+        if use_wide:
+            use_t = False
         # Separate q/k/v projections instead of a fused (d, 3d) qkv Dense:
         # each kernel's output features are HEAD-MAJOR (h, dh), so a Megatron
         # column split P(None, 'tp') lands exactly on head groups and stays
@@ -158,7 +180,14 @@ class WindowedMSA(nn.Module):
         # fused layout's (3, h, dh) column order makes the tp split cross the
         # q/k boundary, which GSPMD can only fix by replicating (involuntary
         # full remat at every stage-2 block, VERDICT r2 item 2).
-        if use_t:
+        if use_wide:
+            # (d, g, n) → (h, dh, g/stack, stack·n): pure view, zero copies
+            q, k, v = (
+                TransposedDense(d, dtype=cdt, name=nm)(x)
+                .reshape(h, dh, g // stack0, stack0 * n)
+                for nm in ("q", "k", "v")
+            )
+        elif use_t:
             # feature-major projections: (d, g, n) → (g·h, dh, n), only
             # major-axis permutes (the token axis stays minor throughout)
             q, k, v = (
@@ -243,7 +272,9 @@ class WindowedMSA(nn.Module):
                 # MXU accumulates f32 and the model casts to compute_dtype
                 # right after anyway (rounding moves into the kernel store).
                 kw["out_dtype"] = jnp.bfloat16
-            if use_t:
+            if use_wide:
+                kw["transposed"] = "wide"
+            elif use_t:
                 kw["transposed"] = "tscore" if t_env == "tscore" else True
             out = kernel_sharding.call_sharded(qu, ku, vu, mask, impl=impl, **kw)
             if out is None:
@@ -276,7 +307,12 @@ class WindowedMSA(nn.Module):
             # major→minor and heads were appended after the group index, so the
             # shift-masked units are the last per_f of every f consecutive
             # groups of per_f.
-            if impl in ("pallas", "hybrid") and per_f % stack == 0:
+            if use_wide:
+                # one fused call; per head row the temporal-group period is
+                # nw groups (units are h-major in the wide layout)
+                out = fused(q, k, v, adj, tail_adj=tail_adj,
+                            units_per_group=nw, groups=f)
+            elif impl in ("pallas", "hybrid") and per_f % stack == 0:
                 # One fused kernel over all units: the kernel selects the plain
                 # vs shift-masked adjacency per supertile (no split/concat HBM
                 # round-trip, uniform unit axis for sharding).
@@ -297,7 +333,12 @@ class WindowedMSA(nn.Module):
                 parts.append(attend(qt, kt, vt, tail_adj).reshape(-1, 1, per_f, n, dh))
                 out = jnp.concatenate(parts, axis=1).reshape(u, n, dh)
 
-        if use_t:
+        if use_wide:
+            # (H, DH, T_h, SN) → (h, dh, g, n) is a pure view; the projection
+            # contracts (h, dh) in place — zero-relayout exit
+            out = DenseFromWide(d, dtype=cdt, name="proj")(
+                out.astype(cdt).reshape(h, dh, g, n))
+        elif use_t:
             # consume the kernel's transposed (U, dh, N) output directly in
             # the projection's dot_general — no materialized relayout
             out = DenseFromTransposed(d, dtype=cdt, name="proj")(

@@ -58,6 +58,12 @@ def sharded_window_attention(mesh, axes=("dp", "sp")):
         _CTX = prev
 
 
+def has_context() -> bool:
+    """True when a sharded-attention context is active (the model's wide
+    single-chip layout path disables itself under sharding)."""
+    return _CTX is not None
+
+
 def tp_size() -> int:
     """Size of the 'tp' mesh axis if a sharding context is active (0 when no
     context / no tp axis). The model uses this to decide whether to emit its

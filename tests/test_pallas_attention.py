@@ -330,6 +330,58 @@ def test_full_model_tscore_layout_matches(monkeypatch):
 
 
 @pytest.mark.slow
+def test_full_model_wide_layout_matches(monkeypatch):
+    """PALLAS_ATTN_TRANSPOSED=wide: the full HWGATE forward through the
+    zero-relayout wide kernel (incl. dual-mask shifted stages) matches the
+    default row-major path."""
+    from sl_hwgat_tpu.models.hwgate import HWGATE
+
+    model = HWGATE(
+        kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
+        depths=(1, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
+        attn_impl="pallas",
+    )
+    r = np.random.default_rng(23)
+    x = jnp.asarray(r.normal(size=(2, 16, 64, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, train=False)
+
+    monkeypatch.setenv("PALLAS_ATTN_TRANSPOSED", "wide")
+    got = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_full_model_wide_layout_grads_match(monkeypatch):
+    """Wide-layout gradients through the full model (train=True exercises the
+    prune RNG + dropout paths off, dual-mask stages on) match the default."""
+    from sl_hwgat_tpu.models.hwgate import HWGATE
+
+    model = HWGATE(
+        kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
+        depths=(1, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
+        attn_impl="pallas",
+    )
+    r = np.random.default_rng(24)
+    x = jnp.asarray(r.normal(size=(2, 16, 64, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params, xx):
+        out = model.apply({**variables, "params": params}, xx, train=False)
+        return jnp.sum(out * jnp.cos(out))
+
+    want = jax.grad(loss)(variables["params"], x)
+    monkeypatch.setenv("PALLAS_ATTN_TRANSPOSED", "wide")
+    got = jax.grad(loss)(variables["params"], x)
+    flat_w = jax.tree_util.tree_leaves_with_path(want)
+    flat_g = jax.tree_util.tree_leaves_with_path(got)
+    for (pw, w), (pg, g) in zip(flat_w, flat_g):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-4,
+            err_msg=jax.tree_util.keystr(pw))
+
+
+@pytest.mark.slow
 def test_full_model_transposed_layout_matches(monkeypatch):
     """PALLAS_ATTN_TRANSPOSED=1: the full HWGATE forward through the
     transposed-layout kernel (incl. dual-mask stages) matches the default."""
