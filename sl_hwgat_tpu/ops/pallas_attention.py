@@ -565,6 +565,68 @@ def _bwd_kernel_wide(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref, allowed_ref,
             preferred_element_type=jnp.float32) * scale).astype(dt)
 
 
+def _fwd_kernel_wide_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, allowed_ref,
+                             fill_ref, o_ref, *, scale, zero_quirk, prune,
+                             tiles_per_step, dual, sn):
+    """Batched wide forward (single-mask): gather the block's 128-aligned
+    lane slices into (TG, DH, SN) in VMEM, then ONE batched dot_general for
+    Sᵀ and one for Oᵀ — the tmq_bfused schedule. Measured (batch-41):
+    589.7µs vs the 567µs wide stream floor and 889µs unrolled — the in-VMEM
+    gather costs ~nothing while batching closes Mosaic's per-tile MXU issue
+    gap. Mirrors ``_fwd_kernel_ts_batched`` semantics exactly."""
+    del dual  # batched + dual rejected by Mosaic (kernel_batch4)
+    pu = u_ref[0] if prune else None
+
+    def tiles(w):
+        return jnp.stack(
+            [w[:, g * sn:(g + 1) * sn] for g in range(tiles_per_step)])
+
+    q3 = tiles(q_ref[0])
+    k3 = tiles(k_ref[0])
+    v3 = tiles(v_ref[0])
+    st = _bdot(k3, q3 * jnp.asarray(scale, q3.dtype), 1, 1)  # (TG,SNk,SNq)
+    at, _ = _masked_attn_matrix_tsb(st, allowed_ref[:], fill_ref[:], pu,
+                                    zero_quirk)
+    o3 = _bdot(v3, at.astype(v3.dtype), 2, 1)                # (TG,DH,SNq)
+    o_ref[0] = jnp.concatenate(
+        [o3[g] for g in range(tiles_per_step)], axis=1).astype(o_ref.dtype)
+
+
+def _bwd_kernel_wide_batched(u_ref, sel_ref, q_ref, k_ref, v_ref, do_ref,
+                             allowed_ref, fill_ref, dq_ref, dk_ref, dv_ref, *,
+                             scale, zero_quirk, prune, tiles_per_step, dual,
+                             sn):
+    """Batched wide backward (single-mask): ≡ ``_bwd_kernel_ts_batched``
+    contractions on gathered (TG, DH, SN) tiles, gradients scattered back to
+    the wide slab."""
+    del dual
+    pu = u_ref[0] if prune else None
+
+    def tiles(w):
+        return jnp.stack(
+            [w[:, g * sn:(g + 1) * sn] for g in range(tiles_per_step)])
+
+    def widen(x3, dst):
+        dst[0] = jnp.concatenate(
+            [x3[g] for g in range(tiles_per_step)], axis=1)
+
+    q3 = tiles(q_ref[0])
+    k3 = tiles(k_ref[0])
+    v3 = tiles(v_ref[0])
+    dt = q3.dtype
+    do3 = tiles(do_ref[0]).astype(dt)
+    st = _bdot(k3, q3 * jnp.asarray(scale, dt), 1, 1)
+    at, st_masked = _masked_attn_matrix_tsb(st, allowed_ref[:], fill_ref[:],
+                                            pu, zero_quirk)
+    at_lp = at.astype(dt)
+    widen(_bdot(do3, at_lp, 2, 2).astype(dt), dv_ref)       # (TG, DH, SN_k)
+    dat = _bdot(v3, do3, 1, 1)                              # (TG, SN_k, SN_q)
+    dst = at * (dat - jnp.sum(dat * at, axis=1, keepdims=True))
+    dst = (dst * (st_masked == st).astype(jnp.float32)).astype(dt)
+    widen((_bdot(k3, dst, 2, 1) * scale).astype(dt), dq_ref)
+    widen((_bdot(q3, dst, 2, 2) * scale).astype(dt), dk_ref)
+
+
 def _call_wide(kernel, n_out, h, t_h, sn, dh, tiles_per_step, args, interpret,
                out_dtype=jnp.float32, dual=False):
     """2-D grid pallas_call for the wide layout: grid (H, T_h/TG), blocks
@@ -849,7 +911,9 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
         allowed_m, fill_m, dual = _masks(adj_key, tail, n, np_, stack)
         allowed_m = np.swapaxes(allowed_m, -1, -2).copy()
         fill_m = np.swapaxes(fill_m, -1, -2).copy()
-        tiles_per_step, t_pad = _pick_tiles_per_step(t_h, sn, dh)
+        batched = _batched() and not dual
+        tiles_per_step, t_pad = _pick_tiles_per_step(t_h, sn, dh,
+                                                     batched=batched)
         qs, ks, vs = (x.reshape(h, dh, t_h * sn) for x in (q, k, v))
         if t_pad != t_h:
             padw = [(0, 0), (0, 0), (0, (t_pad - t_h) * sn)]
@@ -858,7 +922,8 @@ def _attention_fwd(q, k, v, u_val, sel, prune, adj_key, scale, stack,
         else:
             sel_p = sel
         kern = functools.partial(
-            _fwd_kernel_wide, scale=scale, zero_quirk=zero_quirk, prune=prune,
+            _fwd_kernel_wide_batched if batched else _fwd_kernel_wide,
+            scale=scale, zero_quirk=zero_quirk, prune=prune,
             tiles_per_step=tiles_per_step, dual=dual, sn=sn)
         o = _call_wide(
             kern, 1, h, t_pad, sn, dh, tiles_per_step,
@@ -931,7 +996,9 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
         allowed_m, fill_m, dual = _masks(adj_key, tail, np_, np_, stack)
         allowed_m = np.swapaxes(allowed_m, -1, -2).copy()
         fill_m = np.swapaxes(fill_m, -1, -2).copy()
-        tiles_per_step, t_pad = _pick_tiles_per_step(t_h, sn, dh)
+        batched = _batched() and not dual
+        tiles_per_step, t_pad = _pick_tiles_per_step(t_h, sn, dh,
+                                                     batched=batched)
         qs, ks, vs, gs = (x.reshape(h, dh, t_h * sn) for x in (q, k, v, g))
         if t_pad != t_h:
             padw = [(0, 0), (0, 0), (0, (t_pad - t_h) * sn)]
@@ -940,7 +1007,8 @@ def _attention_bwd(prune, adj_key, scale, stack, pad_tokens, zero_quirk_tail,
         else:
             sel_p = sel
         kern = functools.partial(
-            _bwd_kernel_wide, scale=scale, zero_quirk=zero_quirk, prune=prune,
+            _bwd_kernel_wide_batched if batched else _bwd_kernel_wide,
+            scale=scale, zero_quirk=zero_quirk, prune=prune,
             tiles_per_step=tiles_per_step, dual=dual, sn=sn)
         dq, dk, dv = _call_wide(
             kern, 3, h, t_pad, sn, dh, tiles_per_step,

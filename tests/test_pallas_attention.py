@@ -547,3 +547,35 @@ class TestWide:
                                        stack=self.STACK)
         np.testing.assert_allclose(
             np.asarray(self._unwiden(got)), np.asarray(want), atol=1e-5)
+
+    def test_batched_variant_matches(self, monkeypatch):
+        # PALLAS_ATTN_BATCHED=1 + wide → _fwd/_bwd_kernel_wide_batched
+        # (in-VMEM tile gather + one batched dot_general per block)
+        q, k, v = self._qkv(seed=35)
+        want = pallas_window_attention(q, k, v, ADJ32, scale=0.25,
+                                       stack=self.STACK, prune_u=0.3)
+        monkeypatch.setenv("PALLAS_ATTN_BATCHED", "1")
+
+        def loss_w(qw, kw, vw):
+            o = pallas_window_attention(qw, kw, vw, ADJ32, scale=0.25,
+                                        stack=self.STACK, prune_u=0.3,
+                                        transposed="wide")
+            return o, jnp.sum(jnp.sin(self._unwiden(o)))
+
+        got, _ = loss_w(*(self._widen(t) for t in (q, k, v)))
+        np.testing.assert_allclose(
+            np.asarray(self._unwiden(got)), np.asarray(want), atol=1e-5)
+
+        def loss_rm(q, k, v):
+            o = pallas_window_attention(q, k, v, ADJ32, scale=0.25,
+                                        stack=self.STACK, prune_u=0.3)
+            return jnp.sum(jnp.sin(o))
+
+        want_g = jax.grad(loss_rm, argnums=(0, 1, 2))(q, k, v)
+        got_g = jax.grad(lambda a, b, c: loss_w(a, b, c)[1],
+                         argnums=(0, 1, 2))(
+            *(self._widen(t) for t in (q, k, v)))
+        for name, w, g in zip("qkv", want_g, got_g):
+            np.testing.assert_allclose(
+                np.asarray(self._unwiden(g)), np.asarray(w), atol=2e-5,
+                err_msg=name)
