@@ -130,6 +130,35 @@ def main():
         body = lambda qq: pallas_window_attention(
             qq, kp, vp_, adj, scale=0.125, stack=4,
             transposed="tscore_prepacked", out_dtype=jnp.bfloat16)
+    elif impl in ("pallas_widepre_bf16", "pallas_widebwd_bf16"):
+        # KERNEL-ONLY truth for the production WIDE path (transposed="wide"):
+        # (H, DH, T_h, SN) model-layout inputs, per-supertile 128-aligned
+        # lane slices (batched in-VMEM gather with PALLAS_ATTN_BATCHED=1 —
+        # the batch-41 tsw_bstack schedule, 589.7µs raw probe).
+        H = 8
+        T, SN, DH = units // 4, 128, 64
+        TH = T // H
+
+        def widep(x):
+            return jnp.swapaxes(x.reshape(H, TH, SN, DH), 2, 3).reshape(
+                H, TH, DH, SN).transpose(0, 2, 1, 3).reshape(H, DH, TH, SN)
+
+        kp = widep(k.astype(jnp.bfloat16))
+        vp_ = widep(v.astype(jnp.bfloat16))
+        q = widep(q.astype(jnp.bfloat16))
+        if impl == "pallas_widebwd_bf16":
+            def body(qq):
+                def loss(qq_):
+                    o = pallas_window_attention(
+                        qq_, kp, vp_, adj, scale=0.125, stack=4,
+                        transposed="wide", out_dtype=jnp.bfloat16)
+                    return jnp.sum(o.astype(jnp.float32) ** 2), o
+                (_, o), grads = jax.value_and_grad(loss, has_aux=True)(qq)
+                return o + grads.astype(o.dtype)
+        else:
+            body = lambda qq: pallas_window_attention(
+                qq, kp, vp_, adj, scale=0.125, stack=4, transposed="wide",
+                out_dtype=jnp.bfloat16)
     elif impl == "pallas_tsbwd_bf16":
         # fwd + fused bwd through the transposed-score kernels (packing
         # relayouts included — the in-graph cost a model would pay unless the
