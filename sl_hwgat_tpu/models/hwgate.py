@@ -127,7 +127,7 @@ class WindowedMSA(nn.Module):
 
         from sl_hwgat_tpu.parallel import kernel_sharding
 
-        stack0, _ = _supertile_stack(n)
+        stack0, stack0_pad = _supertile_stack(n)
         tp = kernel_sharding.tp_size()
         # Factored sharding: arrays stay 4-D (h, g, n, dh); tp splits heads,
         # dp/sp split groups — zero-movement entry into the shard_map (the
@@ -159,7 +159,6 @@ class WindowedMSA(nn.Module):
         # shifted blocks need windows_per_frame % stack == 0 (a supertile
         # never straddles temporal groups). Single-chip layout: disabled
         # under a sharded-attention context.
-        stack0_pad = _supertile_stack(n)[1]
         use_wide = (
             impl == "pallas"
             and not factored
