@@ -91,10 +91,11 @@ def run_child(impl: str, env_overlay: dict, timeout_s: int):
     return None
 
 
-def roofline_seconds(dtype: str, elem_bytes: int) -> tuple[float, float]:
+def roofline_seconds(dtype: str, elem_bytes: int,
+                     calib_tflops: float | None = None) -> tuple[float, float]:
     tiles = UNITS / 4
     tile_flops = 2 * 2 * 128 * 128 * 64
-    t_compute = tiles * tile_flops / CAL_SHAPE_TFLOPS[dtype]
+    t_compute = tiles * tile_flops / (calib_tflops or CAL_SHAPE_TFLOPS[dtype])
     io_bytes = 4 * UNITS * 32 * 64 * elem_bytes
     t_memory = io_bytes / CAL_MEM_BW
     return t_compute, t_memory
@@ -104,12 +105,15 @@ LAST_GOOD_STEP = {"time_us": 113763.7, "clips_per_sec": 140.6, "batch": 16,
                   "measured": "2026-08-20T13:55Z"}
 
 
-def step_metric():
+def step_metric(calib_tflops=None):
     """Second metric (VERDICT r2 item 5): full HWGATE train step vs the
     analytic step roofline (`utils/profiling.py::hwgate_step_roofline` —
     GEMMs at the measured big-matmul bf16 rate + attention at the shape rate
-    + optimizer HBM traffic). Printed to stderr (the driver contract is ONE
-    stdout JSON line, which stays the kernel headline)."""
+    + optimizer HBM traffic). When a session shape calibration is available,
+    both rates are scaled by (session rate / recorded rate) so the roofline
+    tracks today's chip state like the kernel headline does. Printed to
+    stderr (the driver contract is ONE stdout JSON line, which stays the
+    kernel headline)."""
     from sl_hwgat_tpu.utils.profiling import hwgate_step_roofline
 
     batch = 16
@@ -134,15 +138,23 @@ def step_metric():
     fresh = rec is not None
     if rec is None:
         rec = dict(LAST_GOOD_STEP)
-    roof = hwgate_step_roofline(batch)
-    print(json.dumps({
+    scale = (calib_tflops / CAL_SHAPE_TFLOPS["bfloat16"]) if calib_tflops else 1.0
+    roof = hwgate_step_roofline(batch, mxu_flops=47.3e12 * scale,
+                                shape_flops=27.0e12 * scale,
+                                mem_bw=CAL_MEM_BW * scale)
+    out = {
         "metric": "hwgate_train_step_clips_per_sec",
         "value": round(rec["clips_per_sec"], 1),
         "unit": "clips/s",
         "vs_step_roofline": round(rec["clips_per_sec"] / roof["clips_per_sec"], 4),
         "roofline_clips_per_sec": round(roof["clips_per_sec"], 1),
         "fresh": fresh,
-    }), file=sys.stderr)
+    }
+    if "time_us_min" in rec:
+        out["step_ms_median_min_max"] = [
+            round(rec["time_us"] / 1e3, 1), round(rec["time_us_min"] / 1e3, 1),
+            round(rec["time_us_max"] / 1e3, 1)]
+    print(json.dumps(out), file=sys.stderr)
 
 
 def main():
@@ -167,10 +179,26 @@ def main():
             file=sys.stderr,
         )
 
+    # Self-calibrated roofline denominator (round-4 fix, VERDICT r3 item 1):
+    # chip/relay state drifts ACROSS sessions by 10-25% (the same kernel
+    # config measured 479/527/588µs on three different days with <3%
+    # in-session spread) — so the denominator must be measured in the SAME
+    # session as the numerator. calib_shape_* times XLA's batched einsum on
+    # the kernel's exact matmul shapes on today's chip; the hardcoded
+    # constants remain the fallback when the calib child wedges.
+    calib_tflops = None
+    if fresh:
+        calib = run_child(f"calib_shape_{'bf16' if dtype == 'bfloat16' else 'f32'}",
+                          {}, budget)
+        if calib is not None and calib.get("tflops"):
+            calib_tflops = calib["tflops"] * 1e12
+            print(f"# bench: session calib {calib['time_us']:.0f}us "
+                  f"({calib['tflops']:.1f} TF/s shape rate)", file=sys.stderr)
+
     per_op_s = measured["time_us"] / 1e6
     edges = measured.get("edges", UNITS * 164)
     edges_per_sec = edges / per_op_s
-    t_compute, t_memory = roofline_seconds(dtype, elem_bytes)
+    t_compute, t_memory = roofline_seconds(dtype, elem_bytes, calib_tflops)
     roofline_time = max(t_compute, t_memory)
     roofline_edges_per_sec = edges / roofline_time
 
@@ -182,14 +210,20 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / roofline_edges_per_sec, 4),
     }))
+    spread = ""
+    if "time_us_min" in measured:
+        spread = (f" median-of-{measured.get('n_repeats', '?')} "
+                  f"[min {measured['time_us_min']:.0f} / "
+                  f"max {measured['time_us_max']:.0f}us]")
     print(
-        f"# config={name} fresh={fresh} attn_time={measured['time_us']:.0f}us "
+        f"# config={name} fresh={fresh} attn_time={measured['time_us']:.0f}us{spread} "
         f"shape-roofline={roofline_edges_per_sec:.3e} edges/s "
         f"(compute {t_compute*1e6:.0f}us / memory {t_memory*1e6:.0f}us bound, {dtype}) "
-        f"calibration: shape-matmul f32 17.3TF bf16 27.0TF, HBM 1.05TB/s.",
+        f"calibration: {'session shape-matmul' if calib_tflops else 'recorded'} "
+        f"{(calib_tflops or CAL_SHAPE_TFLOPS[dtype])/1e12:.1f}TF, HBM 1.05TB/s.",
         file=sys.stderr,
     )
-    step_metric()
+    step_metric(calib_tflops)
 
 
 if __name__ == "__main__":

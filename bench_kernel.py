@@ -11,7 +11,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -38,6 +37,47 @@ def _import_tile_masks(adj):
     from sl_hwgat_tpu.ops.pallas_attention import _tile_masks
 
     return _tile_masks(np.asarray(adj), 32, 32, 4)
+
+
+def _timed_repeats(loop, x0, inner, outer, force, repeats=None):
+    """Time `repeats` independent measurements, each `outer` chained calls of
+    `loop` (one jitted fori_loop of `inner` ops) ended by one forced sync, and
+    return per-op seconds for every repeat.
+
+    Round-3 postmortem (VERDICT r3 item 1): a single timed measurement per
+    config let ~25% session/relay variance decide the round headline (479µs
+    in-session vs 598µs driver-measured for the same kernel). Repeats are
+    nearly free — the compile is shared — and the median over ≥5 is robust to
+    one slow relay round-trip. Each repeat keeps the round-3 structure
+    (outer·inner ops per sync) so the relay's device→host sync cost stays
+    amortized over ~100 ops exactly as before; repeats only add more of the
+    same measurement, never a different one."""
+    import time as _time
+
+    repeats = repeats or int(os.environ.get("BENCH_REPEATS", "5"))
+    y = loop(x0)
+    force(y)  # warmup + compile; completion forced through the relay
+    per_op = []
+    for _ in range(repeats):
+        t0 = _time.perf_counter()
+        for _ in range(outer):
+            y = loop(y)
+        force(y)
+        per_op.append((_time.perf_counter() - t0) / (outer * inner))
+    return per_op
+
+
+def _repeat_stats(per_op):
+    import statistics
+
+    med = statistics.median(per_op)
+    return {
+        "time_us": med * 1e6,
+        "time_us_min": min(per_op) * 1e6,
+        "time_us_max": max(per_op) * 1e6,
+        "n_repeats": len(per_op),
+        "spread_pct": round(100.0 * (max(per_op) - min(per_op)) / med, 1),
+    }
 
 
 def main():
@@ -1224,16 +1264,12 @@ def main():
         def loopb(x):
             return jax.lax.fori_loop(0, inner, lambda i, y: inner_body(y), x)
 
-        y = loopb(qb)
-        float(jnp.sum(y))
-        t0 = time.perf_counter()
-        for _ in range(outer):
-            y = loopb(y)
-        float(jnp.sum(y))
-        per_op = (time.perf_counter() - t0) / (outer * inner)
-        print(json.dumps({"impl": impl, "time_us": per_op * 1e6,
-                          "edges": nnz,
-                          "edges_per_sec": nnz / per_op}))
+        per_op = _timed_repeats(loopb, qb, inner, outer,
+                                lambda y: float(jnp.sum(y)))
+        rec = {"impl": impl, "edges": nnz}
+        rec.update(_repeat_stats(per_op))
+        rec["edges_per_sec"] = nnz / (rec["time_us"] / 1e6)
+        print(json.dumps(rec))
         return
     elif impl.startswith("ell_"):
         # GATE-shape TRUE gather/scatter ELL attention (edge-space SDDMM +
@@ -1283,16 +1319,12 @@ def main():
         def loope(x):
             return jax.lax.fori_loop(0, inner, lambda i, y: inner_body(y), x)
 
-        y = loope(qe)
-        float(jnp.sum(y.astype(jnp.float32)))
-        t0 = time.perf_counter()
-        for _ in range(outer):
-            y = loope(y)
-        float(jnp.sum(y.astype(jnp.float32)))
-        per_op = (time.perf_counter() - t0) / (outer * inner)
-        print(json.dumps({"impl": impl, "time_us": per_op * 1e6,
-                          "edges": nnz,
-                          "edges_per_sec": nnz / per_op}))
+        per_op = _timed_repeats(loope, qe, inner, outer,
+                                lambda y: float(jnp.sum(y.astype(jnp.float32))))
+        rec = {"impl": impl, "edges": nnz}
+        rec.update(_repeat_stats(per_op))
+        rec["edges_per_sec"] = nnz / (rec["time_us"] / 1e6)
+        print(json.dumps(rec))
         return
     elif impl.startswith("calib_"):
         # Chip/shape calibration probes. Results feed bench.py's roofline:
@@ -1330,15 +1362,12 @@ def main():
         def loop_mm(x):
             return jax.lax.fori_loop(0, inner, lambda i, y: body_mm(y), x)
 
-        y = loop_mm(x0)
-        float(jnp.sum(y.astype(jnp.float32)))
-        t0 = time.perf_counter()
-        for _ in range(outer):
-            y = loop_mm(y)
-        float(jnp.sum(y.astype(jnp.float32)))
-        per_op = (time.perf_counter() - t0) / (outer * inner)
-        print(json.dumps({"impl": impl, "time_us": per_op * 1e6,
-                          "tflops": flops_per_op / per_op / 1e12}))
+        per_op = _timed_repeats(loop_mm, x0, inner, outer,
+                                lambda y: float(jnp.sum(y.astype(jnp.float32))))
+        rec = {"impl": impl}
+        rec.update(_repeat_stats(per_op))
+        rec["tflops"] = flops_per_op / (rec["time_us"] / 1e6) / 1e12
+        print(json.dumps(rec))
         return
     elif impl in ("hybrid", "hybrid_bf16"):
         from sl_hwgat_tpu.ops.hybrid_attention import hybrid_window_attention
@@ -1375,15 +1404,11 @@ def main():
     def loop(x):
         return jax.lax.fori_loop(0, inner, lambda i, y: body(y), x)
 
-    y = loop(q)
-    float(jnp.sum(y))  # force completion through the relay
-    t0 = time.perf_counter()
-    for _ in range(outer):
-        y = loop(y)
-    float(jnp.sum(y))
-    per_op = (time.perf_counter() - t0) / (outer * inner)
-
-    print(json.dumps({"impl": impl, "time_us": per_op * 1e6, "edges": units * nnz}))
+    per_op = _timed_repeats(loop, q, inner, outer,
+                            lambda y: float(jnp.sum(y.astype(jnp.float32))))
+    rec = {"impl": impl, "edges": units * nnz}
+    rec.update(_repeat_stats(per_op))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

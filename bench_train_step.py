@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +22,12 @@ def main():
 
     import jax
 
+    if os.environ.get("BENCH_NO_CACHE") != "1":
+        # persistent compile cache (same rationale as bench_kernel.py: remote
+        # relay compiles dominate child wall time and degrade in-session)
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     if os.environ.get("SL_HWGAT_PRNG"):
         # threefry dropout-bit generation measured 33.5ms of the 152.7ms
         # step (tools/kernel_batch32); 'rbg' uses the TPU hardware RNG
@@ -65,18 +72,26 @@ def main():
 
     variables, opt_state = state.variables, state.opt_state
 
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+
     if os.environ.get("SL_HWGAT_STEP") == "eval":
         out = estep(variables, x, y, valid, 1)
         float(out[0])
         steps = 20
-        t0 = time.perf_counter()
-        for i in range(steps):
-            out = estep(variables, x, y, valid, 1)
-        float(out[0])
-        per_step = (time.perf_counter() - t0) / steps
+        per = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for i in range(steps):
+                out = estep(variables, x, y, valid, 1)
+            float(out[0])
+            per.append((time.perf_counter() - t0) / steps)
+        per_step = statistics.median(per)
         print(json.dumps({
             "impl": f"eval_step_{dtype}",
             "time_us": per_step * 1e6,
+            "time_us_min": min(per) * 1e6,
+            "time_us_max": max(per) * 1e6,
+            "n_repeats": repeats,
             "clips_per_sec": batch / per_step,
         }))
         return
@@ -89,17 +104,23 @@ def main():
     float(jnp.sum(jax.tree.leaves(variables["params"])[0]))
 
     steps = 10
-    t0 = time.perf_counter()
-    for i in range(steps):
-        out = tstep(variables, opt_state, x, y, valid, key, 0, i)
-        variables, opt_state = out[0], out[1]
-    # forcing a param leaf covers the final optimizer update too
-    float(jnp.sum(jax.tree.leaves(variables["params"])[0]))
-    per_step = (time.perf_counter() - t0) / steps
+    per = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            out = tstep(variables, opt_state, x, y, valid, key, 0, i)
+            variables, opt_state = out[0], out[1]
+        # forcing a param leaf covers the final optimizer update too
+        float(jnp.sum(jax.tree.leaves(variables["params"])[0]))
+        per.append((time.perf_counter() - t0) / steps)
+    per_step = statistics.median(per)
 
     print(json.dumps({
         "impl": f"train_step_{dtype}",
         "time_us": per_step * 1e6,
+        "time_us_min": min(per) * 1e6,
+        "time_us_max": max(per) * 1e6,
+        "n_repeats": repeats,
         "clips_per_sec": batch / per_step,
     }))
 
