@@ -14,6 +14,7 @@ Numerics parity notes (vs torch defaults used by the reference):
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable
 
 import jax
@@ -33,6 +34,80 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+class FastLayerNorm(nn.Module):
+    """LayerNorm with f32-ACCUMULATED statistics over the raw (possibly bf16)
+    stream — no materialized f32 copy of the input.
+
+    Same math as ``nn.LayerNorm(use_fast_variance=True)`` (E[x²]−E[x]², torch
+    parity eps 1e-5) and the same param names/shapes ("scale", "bias"), so
+    checkpoints interchange freely. The difference is purely how XLA lowers
+    it: flax promotes the input to f32 up front, and because that converted
+    tensor feeds two reductions AND the normalize pass, XLA materializes it
+    to HBM (measured 0.35–0.78 ms per LN at the flagship stage-0 working set,
+    ~5.6 ms/step of convert_element_type + inflated f32 reduce/normalize
+    passes — round-4 step profile). Here each reduction consumes the bf16
+    stream directly with an f32 accumulator (``jnp.mean(dtype=f32)`` /
+    square fused into the reduce), and the normalize pass re-reads the bf16
+    input once — every HBM pass over the stream is half-width. bf16→f32 is
+    exact, so the statistics are identical to flax's.
+    """
+
+    epsilon: float = LN_EPS
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                         keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        xn = x
+        if os.environ.get("SL_HWGAT_LN_BARRIER") != "0":
+            # Numerically an identity, but load-bearing: without it XLA CSEs
+            # the stats' and the normalize pass's x.astype(f32) into ONE
+            # conversion with two consumers and materializes the f32 copy of
+            # the stream to HBM (0.2–0.8 ms per LN at flagship shapes). The
+            # barrier gives the normalize pass its own read of the bf16
+            # stream, so each astype fuses into its consumer. Measured:
+            # 102.9 → 95.4 ms/step (train, b16 bf16 rbg, round-4 profile).
+            xn = jax.lax.optimization_barrier(x)
+        y = (xn.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class FastDropout(nn.Module):
+    """Dropout drawing its mask from bfloat16 uniforms (16 random bits per
+    element) instead of flax's float32 bernoulli (32 bits + f32 compare).
+
+    Mask generation is pure HBM traffic — the flagship step spent ~8.4 ms on
+    ``jit(_uniform)`` + ``lt`` over f32 mask-sized tensors (round-4 profile);
+    halving the element width halves it. The keep probability is quantized
+    to bf16 resolution (≤0.4% relative, e.g. keep=0.9 → P(keep)≈0.8984) —
+    imperceptible against dropout's own stochasticity; the statistical
+    training-equivalence anchors (COVERAGE.md) are insensitive to the RNG
+    stream's exact distribution at this granularity. Set
+    ``SL_HWGAT_EXACT_DROPOUT=1`` to restore ``nn.Dropout`` everywhere.
+    """
+
+    rate: float
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool | None = None):
+        det = self.deterministic if deterministic is None else deterministic
+        if det or self.rate == 0.0:
+            return x
+        if os.environ.get("SL_HWGAT_EXACT_DROPOUT") == "1":
+            return nn.Dropout(self.rate, deterministic=False)(x)
+        keep = 1.0 - self.rate
+        u = jax.random.uniform(self.make_rng("dropout"), x.shape, jnp.bfloat16)
+        mask = u < jnp.asarray(keep, jnp.bfloat16)
+        return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                         jnp.zeros_like(x))
+
+
 class Dense(nn.Module):
     """nn.Dense with the family's default init."""
 
@@ -49,7 +124,9 @@ class Dense(nn.Module):
 
 
 def layer_norm(name: str):
-    return nn.LayerNorm(epsilon=LN_EPS, name=name)
+    if os.environ.get("SL_HWGAT_EXACT_LN") == "1":
+        return nn.LayerNorm(epsilon=LN_EPS, name=name)
+    return FastLayerNorm(name=name)
 
 
 def sinusoid_table(max_len: int, d_model: int) -> np.ndarray:
@@ -99,7 +176,7 @@ class PositionalEncoding(nn.Module):
         )
         t = x.shape[1]
         x = x + pe.value[None, :t, None, :]
-        return nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        return FastDropout(self.drop_rate, deterministic=not train)(x)
 
 
 class FeedForward(nn.Module):
@@ -120,9 +197,9 @@ class FeedForward(nn.Module):
         dt = jnp.dtype(self.compute_dtype)
         x = nn.Dense(self.hidden, kernel_init=DENSE_INIT, dtype=dt, name="fc1")(x)
         x = self.act(x)
-        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        x = FastDropout(self.drop_rate, deterministic=not train)(x)
         x = nn.Dense(self.out, kernel_init=DENSE_INIT, dtype=dt, name="fc2")(x)
-        return nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        return FastDropout(self.drop_rate, deterministic=not train)(x)
 
 
 class TorchBatchNorm(nn.Module):

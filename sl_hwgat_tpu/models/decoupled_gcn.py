@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from sl_hwgat_tpu.graphs.partition import spatial_graph
-from sl_hwgat_tpu.models.common import TorchBatchNorm
+from sl_hwgat_tpu.models.common import FastDropout, TorchBatchNorm
 
 
 def find_drop_size(num_nodes: int, num_edges: int, k: int = 1) -> float:
@@ -256,7 +256,7 @@ class DecoupledGCN(nn.Module):
             )(x, kp, train=train)
 
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dropout(self.dropout_ratio, deterministic=not train)(x)
+        x = FastDropout(self.dropout_ratio, deterministic=not train)(x)
         head_init = nn.initializers.normal(stddev=math.sqrt(2.0 / self.num_classes))
         return nn.Dense(self.num_classes, kernel_init=head_init, name="classifier")(x)
 

@@ -35,6 +35,7 @@ from sl_hwgat_tpu.models.common import (
     DENSE_INIT,
     DenseFromTransposed,
     DenseFromWide,
+    FastDropout,
     FeedForward,
     FourierEmbed,
     PositionalEncoding,
@@ -245,7 +246,7 @@ class WindowedMSA(nn.Module):
             if out is not None:
                 out = out.astype(cdt).transpose(1, 2, 0, 3).reshape(g, n, d)
                 out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)
-                return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+                return FastDropout(self.proj_drop, deterministic=not train)(out)
             # context/shape made the factored split inapplicable — fall back
             # to the flat head-minor unit order
             factored = False
@@ -345,7 +346,7 @@ class WindowedMSA(nn.Module):
         else:
             out = out.astype(cdt).reshape(g, h, n, dh).transpose(0, 2, 1, 3).reshape(g, n, d)
             out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)
-        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return FastDropout(self.proj_drop, deterministic=not train)(out)
 
 
 class PartAttentionBlock(nn.Module):

@@ -17,7 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from sl_hwgat_tpu.graphs.partition import GraphPartition
-from sl_hwgat_tpu.models.common import TorchBatchNorm
+from sl_hwgat_tpu.models.common import FastDropout, TorchBatchNorm
 
 
 class GraphConv(nn.Module):
@@ -70,7 +70,7 @@ class STGCNBlock(nn.Module):
             name="tcn_conv",
         )(x)
         x = TorchBatchNorm(use_running_average=not train, name="tcn_bn2")(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         return nn.relu(x + res)
 
 
@@ -126,7 +126,7 @@ class STGCN(nn.Module):
             in_ch = out_ch
 
         x = jnp.mean(x, axis=(1, 2))  # global avg pool over (T, V)
-        x = nn.Dropout(self.dropout_ratio, deterministic=not train)(x)
+        x = FastDropout(self.dropout_ratio, deterministic=not train)(x)
         head_init = nn.initializers.normal(stddev=math.sqrt(2.0 / self.num_classes))
         return nn.Dense(self.num_classes, kernel_init=head_init, name="classifier")(x)
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sl_hwgat_tpu.models.common import sinusoid_table
+from sl_hwgat_tpu.models.common import FastDropout, sinusoid_table
 
 _XAVIER = nn.initializers.xavier_uniform()
 BIG_NEG = -1e9
@@ -43,7 +43,7 @@ class TorchMHA(nn.Module):
         if key_padding_mask is not None:
             s = s + jnp.where(key_padding_mask, BIG_NEG, 0.0)[:, None, None, :]
         a = jax.nn.softmax(s, axis=-1)  # f32 softmax
-        a = nn.Dropout(self.dropout, deterministic=not train)(a)
+        a = FastDropout(self.dropout, deterministic=not train)(a)
         out = jnp.einsum("bhij,bhjd->bhid", a.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.astype(cdt).transpose(0, 2, 1, 3).reshape(b, t, d)
@@ -66,12 +66,12 @@ class EncoderLayer(nn.Module):
                       compute_dtype=self.compute_dtype, name="self_attn")(
             x, key_padding_mask, train=train
         )
-        sa = nn.Dropout(self.dropout, deterministic=not train)(sa)
+        sa = FastDropout(self.dropout, deterministic=not train)(sa)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + sa)
         h = nn.Dense(self.dim_feedforward, kernel_init=_XAVIER, dtype=cdt, name="linear1")(x)
-        h = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(h))
+        h = FastDropout(self.dropout, deterministic=not train)(nn.relu(h))
         h = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=cdt, name="linear2")(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = FastDropout(self.dropout, deterministic=not train)(h)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
@@ -100,7 +100,7 @@ class TransformerClassifier(nn.Module):
             "buffers", "pe", lambda *_: jnp.asarray(sinusoid_table(self.max_len, self.d_model)), None
         )
         x = x + pe.value[None, : x.shape[1], :]
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         for i in range(self.num_encoder_layers):
             x = EncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,

@@ -18,6 +18,7 @@ from flax import linen as nn
 from sl_hwgat_tpu.graphs.adjacency import additive_mask, window_adj
 from sl_hwgat_tpu.models.common import (
     DENSE_INIT,
+    FastDropout,
     FeedForward,
     FourierEmbed,
     PositionalEncoding,
@@ -112,7 +113,7 @@ class BandedMSA(nn.Module):
         out = out.transpose(0, 2, 3, 1, 4).reshape(g, n, d)  # (G,F,V,H,dh) → (G,N,D)
         out = out.astype(cdt)
         out = nn.Dense(d, kernel_init=DENSE_INIT, dtype=cdt, name="proj")(out)
-        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return FastDropout(self.proj_drop, deterministic=not train)(out)
 
 
 class WPartAttentionBlock(nn.Module):
