@@ -1240,7 +1240,28 @@ def main():
         bandj = jnp.asarray(band)
         nnz = B * H * F * V * 3 * V
 
-        if "pallas" in impl:
+        if "packedpre" in impl:
+            # kernel-only truth: inputs pre-packed (GH, dh, F·Vp), the chain
+            # carries no pack/unpack relayouts (cf. pallas_tspre_bf16)
+            from sl_hwgat_tpu.ops.pallas_banded import (
+                _cache_band, _fwd_kernel_packed, _pack_plane, _packed_call,
+                _packed_masks)
+
+            bkey = _cache_band(band)
+            masks = _packed_masks(bkey, 32, F)
+            kp_, vp_ = (_pack_plane(x.astype(dt), 32) for x in (kb, vb))
+            qb = _pack_plane(qb.astype(dt), 32)
+            attn = lambda qq: _packed_call(
+                _fwd_kernel_packed, 1, qq, kp_, vp_, (), masks,
+                scale=0.25, vp=32, out_dtype=dt)
+        elif "packed" in impl:
+            from sl_hwgat_tpu.ops.pallas_banded import \
+                pallas_packed_banded_attention
+
+            odt = dt if impl.endswith("bf16") else jnp.float32
+            attn = lambda qq: pallas_packed_banded_attention(
+                qq.astype(dt), kb, vb, band, scale=0.25, out_dtype=odt)
+        elif "pallas" in impl:
             attn = lambda qq: pallas_banded_frame_attention(
                 qq.astype(dt), kb, vb, band, scale=0.25)
         elif "compact" in impl:
@@ -1253,8 +1274,10 @@ def main():
             attn = lambda qq: banded_frame_attention(
                 qq.astype(dt), kb, vb, bandj, scale=0.25)
         if "bwd" in impl:
-            fb = lambda qq: jnp.sum(attn(qq) ** 2)
-            inner_body = lambda qq: jax.grad(fb)(qq).astype(jnp.float32)
+            fb = lambda qq: jnp.sum(attn(qq).astype(jnp.float32) ** 2)
+            inner_body = lambda qq: jax.grad(fb)(qq).astype(qq.dtype)
+        elif "packedpre" in impl:
+            inner_body = attn  # conversion-free chain (dt in, dt out)
         else:
             inner_body = lambda qq: attn(qq).astype(jnp.float32)
 

@@ -150,3 +150,93 @@ def test_compact_matches_banded_fwd_and_grad():
         got = compact_banded_frame_attention(q, k, v, band[1], scale=0.25,
                                              halo=(lk, lv, rk, rv), edge_valid=ev)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_packed_forward_matches_jnp_banded(case):
+    """Round-4 frame-packed kernel (batched dots + VPU identity band)
+    ≡ the jnp banded op."""
+    from sl_hwgat_tpu.ops.pallas_banded import pallas_packed_banded_attention
+
+    vtok, adj_fn = CASES[case]
+    vp = 32 if vtok > 16 else 16
+    f = 4 * (128 // vp)
+    g, h, dh = 2, 2, 16
+    r = np.random.default_rng(5)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(g, h, f, vtok, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    band = make_band(vtok, adj_fn())
+    want = banded_frame_attention(q, k, v, jnp.asarray(band), scale=0.25)
+    got = pallas_packed_banded_attention(q, k, v, band, scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_packed_gradients_match_jnp_banded(case):
+    from sl_hwgat_tpu.ops.pallas_banded import pallas_packed_banded_attention
+
+    vtok, adj_fn = CASES[case]
+    vp = 32 if vtok > 16 else 16
+    f = 3 * (128 // vp)
+    g, h, dh = 1, 2, 8
+    r = np.random.default_rng(6)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(g, h, f, vtok, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    band = make_band(vtok, adj_fn())
+    bj = jnp.asarray(band)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(banded_frame_attention(q, k, v, bj, scale=0.25)))
+
+    def loss_pk(q, k, v):
+        return jnp.sum(jnp.sin(
+            pallas_packed_banded_attention(q, k, v, band, scale=0.25)))
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_pk, argnums=(0, 1, 2))(q, k, v)
+    for name, w, g_ in zip("qkv", want, got):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w), atol=3e-5,
+                                   err_msg=name)
+
+
+def test_packed_single_tile_and_rejects_nondiagonal():
+    """Global-boundary masking with exactly one 128-token tile; non-diagonal
+    prev/next planes must raise (the VPU band path assumes identity)."""
+    from sl_hwgat_tpu.ops.pallas_banded import pallas_packed_banded_attention
+
+    vtok, f = 29, 4  # 4 frames × Vp 32 = one tile
+    r = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(1, 1, f, vtok, 4)).astype(np.float32))
+        for _ in range(3)
+    )
+    band = make_band(vtok, edges_to_dense(BODY29_EDGES, vtok, self_loops=False))
+    want = banded_frame_attention(q, k, v, jnp.asarray(band), scale=0.5)
+    got = pallas_packed_banded_attention(q, k, v, band, scale=0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    bad = band.copy()
+    bad[0] = band[1]  # spatial (non-diagonal) prev plane
+    with pytest.raises(ValueError):
+        pallas_packed_banded_attention(q, k, v, bad, scale=0.5)
+
+
+def test_gate_model_packed_impl_matches_default():
+    """GATE with attn_impl='pallas_packed' (the TPU 'auto' choice) routes
+    through the packed kernel and matches the jnp banded default."""
+    from sl_hwgat_tpu.models.gate import GATE
+
+    kw = dict(kp_dim=2, num_kps=29, temporal_dim=8, num_classes=5,
+              embed_dim=32, depths=2, num_heads=2, drop_rate=0.0)
+    ref = GATE(**kw)
+    fused = GATE(**kw, attn_impl="pallas_packed")
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(2, 8, 29, 2)),
+                    jnp.float32)
+    variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+    want = ref.apply(variables, x, train=False)
+    got = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
