@@ -25,6 +25,17 @@ ci-stat:
 # Everything: default tier + slow tier with all env gates open. This is the
 # round-end gate — it executes the matched-training / full-model Pallas /
 # RUN_SLOW-gated anchors that the default tier deselects for speed.
+# A pass writes a dated artifact (tools/ci_full_last.txt) recording the
+# counts, so the strongest test tier is verifiable in-repo, not asserted
+# (VERDICT r3 weak-item 6).
 ci-full:
-	$(PY) -m pytest tests/ -q
-	RUN_SLOW=1 RUN_DIST=1 RUN_STAT=1 $(PY) -m pytest tests/ -q -m slow
+	@rm -f tools/ci_full_last.txt
+	$(PY) -m pytest tests/ -q > /tmp/ci_default.out 2>&1 || { cat /tmp/ci_default.out; exit 1; }
+	@tail -n 2 /tmp/ci_default.out
+	RUN_SLOW=1 RUN_DIST=1 RUN_STAT=1 $(PY) -m pytest tests/ -q -m slow > /tmp/ci_slow.out 2>&1 || { cat /tmp/ci_slow.out; exit 1; }
+	@tail -n 2 /tmp/ci_slow.out
+	@{ echo "ci-full PASS $$(date -u +%Y-%m-%dT%H:%M:%SZ) commit $$(git rev-parse --short HEAD)"; \
+	   echo "default tier: $$(tail -n 2 /tmp/ci_default.out | grep -o '[0-9]* passed.*')"; \
+	   echo "slow tier (RUN_SLOW+RUN_DIST+RUN_STAT): $$(tail -n 2 /tmp/ci_slow.out | grep -o '[0-9]* passed.*')"; } \
+	   > tools/ci_full_last.txt
+	@cat tools/ci_full_last.txt

@@ -20,6 +20,13 @@ def main():
 
     import jax
 
+    if os.environ.get("BENCH_NO_CACHE") != "1":
+        # persistent compile cache (same rationale as bench_kernel.py): the
+        # Predictor compiles one forward per batch bucket, ~2 min each
+        # through the relay — cached, a re-run costs seconds
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     if os.environ.get("BENCH_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
 
@@ -75,7 +82,8 @@ def main():
 
     from sl_hwgat_tpu.serve import BatchingQueue
 
-    queue = BatchingQueue(pred, max_batch=16, max_wait_ms=10.0)
+    queue = BatchingQueue(pred, max_batch=16,
+                          max_wait_ms=float(os.environ.get("SERVE_MAX_WAIT", "10")))
     reqs = [clip() for _ in range(64)]
     queue.submit(reqs[0]).result()  # warm
 

@@ -22,6 +22,9 @@ DATASET_PARAMS: dict[str, dict[str, int]] = {
     "LSA64": {"num_class": 64, "src_len": 64},
     # Tiny synthetic dataset used by tests and smoke runs (not in the reference).
     "SYNTH": {"num_class": 16, "src_len": 32},
+    # WLASL-2000-shaped synthetic set: the large-vocab on-chip training
+    # anchor (BASELINE config 4 regime without real data — LARGEVOCAB_r04).
+    "SYNTH-2000": {"num_class": 2000, "src_len": 64},
 }
 
 FEATURE_TYPES = ("rgb", "keypoints")

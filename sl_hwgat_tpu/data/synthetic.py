@@ -32,16 +32,25 @@ def write_synthetic_dataset(root: str, dataset_name: str = "SYNTH",
     vid_splits = {"train": [], "val": [], "test": []}
     vid_class, data_map = {}, {}
     for cls in range(num_classes):
+        # Large vocabularies: the frequency code aliases once (1+cls)
+        # exceeds the frame-count Nyquist limit, so classes additionally get
+        # a fixed class-seeded spatial offset pattern on the hand joints —
+        # constant in time (survives temporal resampling/edge-padding),
+        # linear in the coordinates (survives shear/rotate/normalize), on
+        # BOTH coords (survives RandomFlip up to sign, which the y-coord
+        # component disambiguates).
+        crng = np.random.default_rng(10_000 + cls)
+        pattern = crng.uniform(-0.06, 0.06, size=(20, 2)).astype(np.float32)
         for i in range(clips_per_class):
             vid = f"c{cls:03d}_{i}"
             t = int(rng.integers(frames[0], frames[1]))
             clip = make_clip(rng, t)
-            # Class signal: frequency-coded oscillation of the hand joints'
-            # y-coordinate — invariant to RandomFlip (which negates x only)
-            # and to temporal resampling (frequency ratio is preserved).
             phase = rng.uniform(0, 2 * np.pi)
-            wave = 0.08 * np.sin(2 * np.pi * (1 + cls) * np.linspace(0, 1, t) + phase)
+            freq = 1 + (cls % 12 if num_classes > 16 else cls)
+            wave = 0.08 * np.sin(2 * np.pi * freq * np.linspace(0, 1, t) + phase)
             clip[:, 9:29, 1] += wave[:, None]
+            if num_classes > 16:
+                clip[:, 9:29, :2] += pattern[None]
             data_map[vid] = np.clip(clip, 0.0, 1.0)
             vid_class[vid] = cls
             split = "train" if i < clips_per_class - 2 else ("val" if i == clips_per_class - 2 else "test")

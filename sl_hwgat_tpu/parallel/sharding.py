@@ -86,7 +86,8 @@ def make_sharded_steps(model, optimizer, mesh: Mesh, variables, opt_state,
                        mutable_stats: bool = False,
                        shard_sequence: bool = True,
                        use_tp: bool = True,
-                       donate: bool = False):
+                       donate: bool = False,
+                       grad_accum: int = 1):
     """Build jitted train/eval steps with explicit input shardings.
 
     Returns (train_step, eval_step, sharded_variables, sharded_opt_state).
@@ -120,7 +121,8 @@ def make_sharded_steps(model, optimizer, mesh: Mesh, variables, opt_state,
     rep = NamedSharding(mesh, P())
 
     train_raw, eval_raw = make_steps(
-        model, optimizer, criterion_type, rng_streams, mutable_stats, donate=False
+        model, optimizer, criterion_type, rng_streams, mutable_stats,
+        donate=False, grad_accum=grad_accum,
     )
     # out_shardings pin the state outputs to the input shardings so the
     # step composes with itself across calls — without this, GSPMD may pick

@@ -41,6 +41,11 @@ from sl_hwgat_tpu.models import build_model
 from sl_hwgat_tpu.train.checkpoint import variables_from_source
 
 
+def _softmax_np(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
 @dataclass
 class Predictor:
     """Compiled classifier over preprocessed keypoint clips."""
@@ -49,13 +54,13 @@ class Predictor:
     variables: dict
     transform: object
     num_classes: int
-    batch_buckets: tuple = (1, 4, 16)
+    batch_buckets: tuple = (1, 4, 8, 16)
     _compiled: dict = field(default_factory=dict)
 
     @classmethod
     def from_checkpoint(cls, path: str, *, model_type: str, dataset: str,
                         pose_method: str = "mediapipe",
-                        batch_buckets: tuple = (1, 4, 16), **model_overrides):
+                        batch_buckets: tuple = (1, 4, 8, 16), **model_overrides):
         from sl_hwgat_tpu import configs
         from sl_hwgat_tpu.data import transforms as T
 
@@ -137,7 +142,9 @@ class Predictor:
     def predict_topk(self, clips: Sequence[np.ndarray], k: int = 5):
         """→ list of (class_ids, softmax_scores), each length k, per clip."""
         logits = self.predict_logits(clips)
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        # host softmax: a (n, num_classes) vector op — pushing it through the
+        # device costs a full host↔device round trip (~28 ms on the relay)
+        probs = _softmax_np(logits)
         idx = np.argsort(-logits, axis=-1)[:, :k]
         return [(idx[i], probs[i, idx[i]]) for i in range(len(clips))]
 
@@ -209,13 +216,36 @@ class BatchingQueue:
     """
 
     def __init__(self, predictor: Predictor, max_batch: int = 16,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_inflight: int = 3):
         self.predictor = predictor
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1e3
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._closed = False
         self.stats = {"requests": 0, "batches": 0, "rows": 0}
+        # Async completion pipeline (round-4, SERVE_r03 postmortem): the
+        # dispatcher used to materialize each batch's logits synchronously,
+        # so the device idled during every host↔device round trip (~28 ms
+        # through the relay) AND the queue drained in partial batches while
+        # the dispatcher was blocked (9 batches averaging 7 clips for a
+        # 64-request burst). Now the dispatcher only *launches* the compiled
+        # forward (async JAX dispatch) and hands the on-device result to a
+        # completion thread; while one batch computes, the dispatcher is
+        # already coalescing the next — batches fill, round trips overlap
+        # compute. `max_inflight` bounds queued device work (memory + tail
+        # latency).
+        self._done_q: queue.SimpleQueue = queue.SimpleQueue()
+        self._inflight = threading.Semaphore(int(max_inflight))
+        # upload+dispatch itself costs a fixed ~28 ms through the relay and
+        # releases the GIL — a small pool overlaps those round trips across
+        # batches instead of serializing them in the dispatcher thread
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._dispatch_pool = ThreadPoolExecutor(
+            max_workers=int(max_inflight), thread_name_prefix="serve-dispatch")
+        self._completer = threading.Thread(
+            target=self._complete_loop, name="serve-completer", daemon=True)
+        self._completer.start()
         self._thread = threading.Thread(
             target=self._loop, name="serve-batcher", daemon=True)
         self._thread.start()
@@ -234,7 +264,7 @@ class BatchingQueue:
     def predict_topk(self, clip, k: int = 5):
         """Blocking convenience: one clip → (class_ids, softmax_scores)."""
         logits = self.submit(clip).result()
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits)))
+        probs = _softmax_np(logits)
         idx = np.argsort(-logits)[:k]
         return idx, probs[idx]
 
@@ -243,6 +273,9 @@ class BatchingQueue:
         self._closed = True
         self._q.put(None)
         self._thread.join()
+        self._dispatch_pool.shutdown(wait=True)
+        self._done_q.put(None)
+        self._completer.join()
 
     # -- dispatcher ------------------------------------------------------------
     def _loop(self) -> None:
@@ -253,22 +286,32 @@ class BatchingQueue:
             batch = [item]
             deadline = time.monotonic() + self.max_wait
             stop = False
+            acquired = False
             while len(batch) < self.max_batch and not stop:
                 timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    # soft deadline passed: launch as soon as the device can
+                    # accept work; while it can't, keep coalescing — a
+                    # partial batch gains nothing by queueing behind a full
+                    # in-flight one, and every extra dispatch costs a fixed
+                    # ~28 ms host↔device round trip through the relay
+                    if self._inflight.acquire(blocking=False):
+                        acquired = True
+                        break
+                    timeout = 0.002
                 try:
-                    nxt = (self._q.get_nowait() if timeout <= 0
-                           else self._q.get(timeout=timeout))
+                    nxt = self._q.get(timeout=timeout)
                 except queue.Empty:
-                    break
+                    continue
                 if nxt is None:
                     stop = True
                 else:
                     batch.append(nxt)
-            self._run(batch)
+            self._dispatch_pool.submit(self._run, batch, acquired)
             if stop:
                 return
 
-    def _run(self, batch) -> None:
+    def _run(self, batch, acquired: bool = False) -> None:
         groups: dict = {}
         for x, fut in batch:
             groups.setdefault(x.shape, []).append((x, fut))
@@ -278,14 +321,36 @@ class BatchingQueue:
             b = p._bucket(n)
             xp = np.zeros((b,) + shape, np.float32)
             xp[:n] = np.stack([x for x, _ in items])
+            if acquired:
+                acquired = False
+            else:
+                self._inflight.acquire()
             try:
-                logits = np.asarray(
-                    p._fn(b, shape)(p.variables, jnp.asarray(xp)))[:n]
+                # async dispatch: returns immediately with an on-device
+                # result; materialization happens on the completion thread
+                dev = p._fn(b, shape)(p.variables, jnp.asarray(xp))
             except Exception as e:  # pragma: no cover - device failure path
+                self._inflight.release()
                 for _, fut in items:
                     fut.set_exception(e)
                 continue
+            self._done_q.put((dev, items))
+
+    def _complete_loop(self) -> None:
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            dev, items = item
+            try:
+                logits = np.asarray(dev)[: len(items)]
+            except Exception as e:  # pragma: no cover - device failure path
+                self._inflight.release()
+                for _, fut in items:
+                    fut.set_exception(e)
+                continue
+            self._inflight.release()
             self.stats["batches"] += 1
-            self.stats["rows"] += n
+            self.stats["rows"] += len(items)
             for i, (_, fut) in enumerate(items):
                 fut.set_result(logits[i])

@@ -338,7 +338,7 @@ def test_full_model_wide_layout_matches(monkeypatch):
 
     model = HWGATE(
         kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
-        depths=(1, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
+        depths=(2, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
         attn_impl="pallas",
     )
     r = np.random.default_rng(23)
@@ -359,7 +359,7 @@ def test_full_model_wide_layout_grads_match(monkeypatch):
 
     model = HWGATE(
         kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
-        depths=(1, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
+        depths=(2, 1), num_heads=(2, 2), drop_rate=0.0, prune_attn=False,
         attn_impl="pallas",
     )
     r = np.random.default_rng(24)
@@ -531,22 +531,49 @@ class TestWide:
             np.asarray(want).astype(np.float32), atol=4e-3)
 
     def test_odd_tile_count_pads(self):
-        # T_h = 3 per head row with preferred tg → pad path exercises the
-        # lane-axis padding + sel padding
-        q, k, v = self._qkv(seed=34)
-        import os
+        # Default tg heuristic at t_h=34 (G=136, stack 4) picks tg=16 →
+        # t_pad=48 ≠ t_h: exercises the wide kernels' lane-axis pad + sel-pad
+        # branches (_attention_fwd/_bwd) with NO TG override. (A TG override
+        # divisor-rounds tg and never pads — the round-3 version of this test
+        # silently tested the unpadded path.)
+        h, g, st, n, dh = self.H, 136, self.STACK, self.N, self.DH
+        r = np.random.default_rng(34)
+        q, k, v = (
+            jnp.asarray(r.normal(size=(h * g, n, dh)).astype(np.float32))
+            for _ in range(3)
+        )
 
-        os.environ["PALLAS_ATTN_TG"] = "2"
-        try:
-            got = pallas_window_attention(
-                *(self._widen(t) for t in (q, k, v)), ADJ32,
-                scale=0.25, stack=self.STACK, transposed="wide")
-        finally:
-            del os.environ["PALLAS_ATTN_TG"]
-        want = pallas_window_attention(q, k, v, ADJ32, scale=0.25,
-                                       stack=self.STACK)
+        def widen(x):
+            return jnp.asarray(x).reshape(h, g // st, st, n, dh).transpose(
+                0, 4, 1, 2, 3).reshape(h, dh, g // st, st * n)
+
+        def unwiden(y):
+            return y.reshape(h, dh, g // st, st, n).transpose(
+                0, 2, 3, 4, 1).reshape(h * g, n, dh)
+
+        want = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=st)
+        got = pallas_window_attention(
+            *(widen(t) for t in (q, k, v)), ADJ32,
+            scale=0.25, stack=st, transposed="wide")
         np.testing.assert_allclose(
-            np.asarray(self._unwiden(got)), np.asarray(want), atol=1e-5)
+            np.asarray(unwiden(got)), np.asarray(want), atol=1e-5)
+
+        def loss_w(qw, kw, vw):
+            o = pallas_window_attention(qw, kw, vw, ADJ32, scale=0.25,
+                                        stack=st, transposed="wide")
+            return jnp.sum(jnp.sin(unwiden(o)))
+
+        def loss_rm(q, k, v):
+            o = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=st)
+            return jnp.sum(jnp.sin(o))
+
+        want_g = jax.grad(loss_rm, argnums=(0, 1, 2))(q, k, v)
+        got_g = jax.grad(loss_w, argnums=(0, 1, 2))(
+            *(widen(t) for t in (q, k, v)))
+        for name, w, gg in zip("qkv", want_g, got_g):
+            np.testing.assert_allclose(
+                np.asarray(unwiden(gg)), np.asarray(w), atol=2e-5,
+                err_msg=name)
 
     def test_batched_variant_matches(self, monkeypatch):
         # PALLAS_ATTN_BATCHED=1 + wide → _fwd/_bwd_kernel_wide_batched
