@@ -52,6 +52,8 @@ def main():
         overrides["pe"] = False
     if os.environ.get("SL_HWGAT_STREAM"):
         overrides["stream_dtype"] = os.environ["SL_HWGAT_STREAM"]
+    if os.environ.get("SL_HWGAT_STREAM_LAYOUT"):
+        overrides["stream_layout"] = os.environ["SL_HWGAT_STREAM_LAYOUT"]
     ds = {"src_len": 192, "num_class": 2002}  # FDMSE-ISL (constants.py)
     model = build_model("HWGATE", ds, 2, **overrides)
 

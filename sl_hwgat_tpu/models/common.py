@@ -53,14 +53,18 @@ class FastLayerNorm(nn.Module):
     """
 
     epsilon: float = LN_EPS
+    # feature axis: -1 for the token-major stream, 0 for the feature-major
+    # (d, …) stream regime — the (d,)-shaped params are identical either way,
+    # so the two layouts share one checkpoint.
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x):
-        d = x.shape[-1]
+        d = x.shape[self.axis]
         scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-        mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+        mean = jnp.mean(x, axis=self.axis, keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=self.axis,
                          keepdims=True)
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         xn = x
@@ -74,7 +78,10 @@ class FastLayerNorm(nn.Module):
             # 102.9 → 95.4 ms/step (train, b16 bf16 rbg, round-4 profile).
             xn = jax.lax.optimization_barrier(x)
         y = (xn.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        if self.axis == -1:
+            return y * scale + bias
+        bshape = (d,) + (1,) * (x.ndim - 1)
+        return y * scale.reshape(bshape) + bias.reshape(bshape)
 
 
 class FastDropout(nn.Module):
@@ -280,6 +287,51 @@ class TransposedDense(nn.Module):
         return y + bias.astype(y.dtype).reshape(bshape)
 
 
+class FeatureDense(nn.Module):
+    """Dense over a FEATURE-MAJOR activation: (din, …) → (features, …), one
+    dot_general contracting the leading axes of kernel and input (the dot_tt
+    form — measured at full MXU rate in the round-2 layout probes). Param
+    tree ≡ ``nn.Dense`` (kernel (din, features), bias (features,)), so the
+    feature-major stream regime shares checkpoints with the token-major
+    model."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = DENSE_INIT
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[0], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        y = jax.lax.dot_general(
+            kernel.astype(self.dtype), x.astype(self.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=self.dtype)
+        bshape = (self.features,) + (1,) * (y.ndim - 1)
+        return y + bias.astype(y.dtype).reshape(bshape)
+
+
+class FeatureFeedForward(nn.Module):
+    """``FeedForward`` on the feature-major (d, …) stream — same param tree
+    (fc1/fc2 with nn.Dense kernels), same math, zero layout crossings."""
+
+    hidden: int
+    out: int
+    drop_rate: float = 0.0
+    act: Callable = gelu_exact
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = jnp.dtype(self.compute_dtype)
+        x = FeatureDense(self.hidden, dtype=dt, name="fc1")(x)
+        x = self.act(x)
+        x = FastDropout(self.drop_rate, deterministic=not train)(x)
+        x = FeatureDense(self.out, dtype=dt, name="fc2")(x)
+        return FastDropout(self.drop_rate, deterministic=not train)(x)
+
+
 class DenseFromTransposed(nn.Module):
     """Projection that CONSUMES a feature-major activation: (g, h, dh, n) →
     (g, n, features), contracting the (h, dh) axes against the kernel in one
@@ -302,6 +354,30 @@ class DenseFromTransposed(nn.Module):
             x_t.astype(self.dtype), k, (((1, 2), (0, 1)), ((), ())),
             preferred_element_type=self.dtype)  # (g, n, features)
         return y + bias.astype(y.dtype)
+
+
+class FeatureDenseFromWide(nn.Module):
+    """Wide-kernel output (h, dh, T_h, SN) → FEATURE-MAJOR (features, T_h,
+    SN): the kernel tensor is the lhs, contracting its (h·dh) rows against
+    the attention output's leading axes — the feature-major stream regime's
+    zero-relayout attention exit. Param tree ≡ ``nn.Dense``."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = DENSE_INIT
+
+    @nn.compact
+    def __call__(self, x_w):
+        h, dh, t, sn = x_w.shape
+        kernel = self.param("kernel", self.kernel_init,
+                            (h * dh, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        k = kernel.reshape(h, dh, self.features).astype(self.dtype)
+        y = jax.lax.dot_general(
+            k, x_w.astype(self.dtype), (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=self.dtype)  # (features, T_h, SN)
+        return y + bias.astype(y.dtype).reshape(self.features, 1, 1)
 
 
 class DenseFromWide(nn.Module):

@@ -36,6 +36,10 @@ from sl_hwgat_tpu.models.common import (
     DenseFromTransposed,
     DenseFromWide,
     FastDropout,
+    FastLayerNorm,
+    FeatureDense,
+    FeatureDenseFromWide,
+    FeatureFeedForward,
     FeedForward,
     FourierEmbed,
     PositionalEncoding,
@@ -43,7 +47,14 @@ from sl_hwgat_tpu.models.common import (
     layer_norm,
 )
 from sl_hwgat_tpu.ops.attention import stacked_window_attention
-from sl_hwgat_tpu.ops.window import window_partition, window_reverse, temporal_merge
+from sl_hwgat_tpu.ops.window import (
+    feature_major_entry,
+    feature_major_roll,
+    feature_major_temporal_merge,
+    temporal_merge,
+    window_partition,
+    window_reverse,
+)
 
 
 def _supertile_stack(tokens: int) -> tuple[int, int | None]:
@@ -414,6 +425,130 @@ class PartAttentionBlock(nn.Module):
         return x
 
 
+class FMWindowedMSA(nn.Module):
+    """``WindowedMSA`` on the FEATURE-MAJOR stream (d, b, f, nW·TP·W).
+
+    The qkv ``FeatureDense`` outputs view as the wide kernel's
+    (H, DH, T_h, 128) input with ZERO relayout (lanes are already supertile
+    token order), and ``FeatureDenseFromWide`` contracts (h, dh) back in
+    place — no head-split crossing exists anywhere in the block. Param tree
+    ≡ ``WindowedMSA`` (q/k/v/proj with nn.Dense kernels), so both layouts
+    share one checkpoint."""
+
+    dim: int
+    num_heads: int
+    adj: tuple
+    windows_per_frame: int = 4
+    temporal_groups: int = 1
+    prune: bool = False
+    tail_shift_mask: tuple | None = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    attn_dtype: str = "float32"
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, xf, train: bool = False):
+        from sl_hwgat_tpu.ops.pallas_attention import pallas_window_attention
+
+        _, b, f, length = xf.shape
+        h = self.num_heads
+        dh = self.dim // h
+        n = length // self.windows_per_frame
+        stack, pad = _supertile_stack(n)
+        cdt = jnp.dtype(self.compute_dtype)
+        attn_bf16 = self.attn_dtype == "bfloat16" or cdt == jnp.bfloat16
+
+        q, k, v = (
+            FeatureDense(self.dim, dtype=cdt, name=nm)(xf)
+            .reshape(h, dh, (b * f * length) // (stack * n), stack * n)
+            for nm in ("q", "k", "v")
+        )
+        adt = jnp.bfloat16 if attn_bf16 else jnp.float32
+        if q.dtype != adt:
+            q, k, v = (t.astype(adt) for t in (q, k, v))
+
+        prune_u = None
+        if self.prune and train:
+            import jax
+
+            prune_u = jax.random.uniform(self.make_rng("prune"), ())
+
+        adj = np.asarray(self.adj, dtype=np.float32)
+        kw = dict(scale=dh**-0.5, stack=stack, pad_tokens=pad,
+                  prune_u=prune_u, transposed="wide")
+        if attn_bf16:
+            kw["out_dtype"] = jnp.bfloat16
+        if self.tail_shift_mask is not None:
+            tail_adj = adj * np.asarray(self.tail_shift_mask, dtype=np.float32)
+            kw.update(tail_adj=tail_adj,
+                      units_per_group=self.windows_per_frame, groups=f)
+        out = pallas_window_attention(q, k, v, adj, **kw)  # (h, dh, T_h, 128)
+        out = FeatureDenseFromWide(self.dim, dtype=cdt, name="proj")(
+            out.astype(cdt))
+        out = out.reshape(self.dim, b, f, length)
+        return FastDropout(self.proj_drop, deterministic=not train)(out)
+
+
+class FMPartAttentionBlock(nn.Module):
+    """``PartAttentionBlock`` on the feature-major stream: LN/FFN/residual
+    operate on (d, b, f, 128); the temporal roll is a lane regrouping
+    (`ops/window.py::feature_major_roll`). Param tree ≡ the token block."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    temporal_patch: int
+    shift_size: int
+    adj: tuple
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    ff_ratio: float = 2.0
+    prune: bool = True
+    attn_impl: str = "auto"
+    attn_dtype: str = "float32"
+    compute_dtype: str = "float32"
+    stream_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, xf, train: bool = False):
+        sdt = jnp.dtype(self.stream_dtype)
+        _, b, f, length = xf.shape
+        shortcut = xf
+        if self.shift_size > 0:
+            xf = feature_major_roll(xf, -self.shift_size, self.window_size,
+                                    self.temporal_patch)
+        xn = FastLayerNorm(name="norm1", axis=0)(xf).astype(sdt)
+        tail_mask = None
+        if self.shift_size > 0:
+            tail_mask = tuple(map(tuple, shift_tail_mask(
+                self.window_size, self.temporal_patch, self.shift_size).tolist()))
+        a = FMWindowedMSA(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            adj=self.adj,
+            windows_per_frame=length // (self.temporal_patch * self.window_size),
+            temporal_groups=f,
+            prune=self.prune,
+            tail_shift_mask=tail_mask,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            attn_dtype=self.attn_dtype,
+            compute_dtype=self.compute_dtype,
+            name="attn",
+        )(xn, train=train)
+        if self.shift_size > 0:
+            a = feature_major_roll(a, self.shift_size, self.window_size,
+                                   self.temporal_patch)
+        x = shortcut + a.astype(sdt)
+        x = x + FeatureFeedForward(
+            hidden=int(self.dim * self.ff_ratio), out=self.dim,
+            drop_rate=self.drop, compute_dtype=self.compute_dtype, name="ff",
+        )(FastLayerNorm(name="norm2", axis=0)(x).astype(sdt),
+          train=train).astype(sdt)
+        return x
+
+
 class HWGATE(nn.Module):
     """Flagship hierarchical windowed graph-attention classifier.
 
@@ -450,10 +585,31 @@ class HWGATE(nn.Module):
     # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(depth) less
     # activation HBM — lifts the per-chip batch ceiling (b64 OOMs without it)
     remat: bool = False
+    # 'token' (default): (B, F, K, D) stream, blocks window-partition per
+    # call. 'feature': the round-4 FEATURE-MAJOR stream regime — the stream
+    # stays (D, B, f, nW·TP·W) through LN/FFN/residual for the whole model,
+    # the wide Pallas kernel consumes the projections' output as a pure view,
+    # and the per-block head-split layout crossings (~18 ms/step, round-4
+    # profile) disappear; one real relayout at model entry. Falls back to
+    # 'token' when the window geometry doesn't pack to 128 lanes or a
+    # sharded-attention context is active. Checkpoints are interchangeable.
+    stream_layout: str = "token"
 
     def _stream(self) -> str:
         return (self.compute_dtype if self.stream_dtype == "auto"
                 else self.stream_dtype)
+
+    def _use_feature_major(self) -> bool:
+        if self.stream_layout != "feature":
+            return False
+        from sl_hwgat_tpu.parallel import kernel_sharding
+
+        n = self.temporal_patch * self.window_size
+        stack, pad = _supertile_stack(n)
+        nw = self.num_kps // self.window_size
+        return (pad is None and stack * n == 128 and nw % stack == 0
+                and self.num_kps == nw * self.window_size
+                and not kernel_sharding.has_context())
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -473,8 +629,12 @@ class HWGATE(nn.Module):
 
         # static_argnums indexes flax's lifted call args (0=scope, 1=x,
         # 2=train); train must be static for the python control flow inside
-        block_cls = (nn.remat(PartAttentionBlock, static_argnums=(2,))
-                     if self.remat else PartAttentionBlock)
+        fm = self._use_feature_major()
+        base_cls = FMPartAttentionBlock if fm else PartAttentionBlock
+        block_cls = (nn.remat(base_cls, static_argnums=(2,))
+                     if self.remat else base_cls)
+        if fm:
+            x = feature_major_entry(x, self.window_size, self.temporal_patch)
         for i in range(num_layers):
             dim = int(self.embed_dim * 2**i)
             for j in range(self.depths[i]):
@@ -496,10 +656,16 @@ class HWGATE(nn.Module):
                     name=f"layers_{i}_blocks_{j}",
                 )(x, train)
             if i < num_layers - 1:
-                x = temporal_merge(x, self.temporal_patch)
+                x = (feature_major_temporal_merge(x, self.window_size,
+                                                  self.temporal_patch)
+                     if fm else temporal_merge(x, self.temporal_patch))
 
-        x = layer_norm("norm")(x)
-        x = jnp.mean(x, axis=(1, 2))  # AvgPool1d over f·K tokens, `HWGATE.py:328,354`
+        if fm:
+            x = FastLayerNorm(name="norm", axis=0)(x)
+            x = jnp.mean(x, axis=(2, 3)).T  # (d, b) → (b, d)
+        else:
+            x = layer_norm("norm")(x)
+            x = jnp.mean(x, axis=(1, 2))  # AvgPool1d over f·K tokens, `HWGATE.py:328,354`
         return nn.Dense(self.num_classes, kernel_init=DENSE_INIT, name="head")(x)
 
 

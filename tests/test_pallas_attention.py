@@ -606,3 +606,51 @@ class TestWide:
             np.testing.assert_allclose(
                 np.asarray(self._unwiden(g)), np.asarray(w), atol=2e-5,
                 err_msg=name)
+
+
+def test_feature_major_stream_matches_token(monkeypatch):
+    """The round-4 feature-major stream regime (stream_layout='feature':
+    LN/FFN/residual on (d, b, f, 128), wide kernel consumed as a pure view)
+    must match the token-major model with the SAME variables — including a
+    shifted block and a temporal merge."""
+    from sl_hwgat_tpu.models.hwgate import HWGATE
+
+    kw = dict(kp_dim=2, temporal_dim=8, num_classes=6, embed_dim=32,
+              depths=(2, 1), num_heads=(2, 2), drop_rate=0.0,
+              prune_attn=False)
+    tok = HWGATE(**kw)
+    fm = HWGATE(**kw, stream_layout="feature")
+    r = np.random.default_rng(40)
+    x = jnp.asarray(r.normal(size=(2, 8, 64, 2)).astype(np.float32))
+    variables = tok.init(jax.random.PRNGKey(0), x, train=False)
+    want = tok.apply(variables, x, train=False)
+    got = fm.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_feature_major_stream_grads_match_token():
+    from sl_hwgat_tpu.models.hwgate import HWGATE
+
+    kw = dict(kp_dim=2, temporal_dim=8, num_classes=6, embed_dim=32,
+              depths=(2, 1), num_heads=(2, 2), drop_rate=0.0,
+              prune_attn=False)
+    tok = HWGATE(**kw)
+    fm = HWGATE(**kw, stream_layout="feature")
+    r = np.random.default_rng(41)
+    x = jnp.asarray(r.normal(size=(2, 8, 64, 2)).astype(np.float32))
+    variables = tok.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(model):
+        def f(p, xx):
+            out = model.apply({**variables, "params": p}, xx, train=False)
+            return jnp.sum(jnp.sin(out))
+        return f
+
+    gw = jax.grad(loss(tok))(variables["params"], x)
+    gg = jax.grad(loss(fm))(variables["params"], x)
+    fw = jax.tree_util.tree_leaves_with_path(gw)
+    fg = jax.tree_util.tree_leaves_with_path(gg)
+    for (pw, w), (_, g) in zip(fw, fg):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4,
+                                   err_msg=jax.tree_util.keystr(pw))
