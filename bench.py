@@ -101,8 +101,10 @@ def roofline_seconds(dtype: str, elem_bytes: int,
     return t_compute, t_memory
 
 
-LAST_GOOD_STEP = {"time_us": 113763.7, "clips_per_sec": 140.6, "batch": 16,
-                  "measured": "2026-08-20T13:55Z"}
+LAST_GOOD_STEP = {"time_us": 87313.1, "clips_per_sec": 183.2, "batch": 16,
+                  "measured": "2026-08-21T02:35Z"}
+# (round-4 production: feature-major stream + FastLayerNorm + bf16 dropout
+# masks; round-3 close-out was 113.8ms / 140.6 clips/s.)
 
 
 def step_metric(calib_tflops=None):

@@ -40,7 +40,17 @@ def write_synthetic_dataset(root: str, dataset_name: str = "SYNTH",
         # BOTH coords (survives RandomFlip up to sign, which the y-coord
         # component disambiguates).
         crng = np.random.default_rng(10_000 + cls)
-        pattern = crng.uniform(-0.06, 0.06, size=(20, 2)).astype(np.float32)
+        # Two independent class signals, both chosen to survive the full
+        # train pipeline (nearest-centroid probes, round 4):
+        # - a static per-joint offset pattern on all 29 joints, amplitude
+        #   ABOVE the clip-generator's own per-joint base spread (±0.2) so
+        #   intra-class noise doesn't drown it (±0.12 did);
+        # - a per-joint oscillation pattern (class-seeded frequency/phase
+        #   per joint) — temporal structure that per-clip static offsets and
+        #   the shoulder-anchored normalization cannot remove.
+        pattern = crng.uniform(-0.25, 0.25, size=(29, 2)).astype(np.float32)
+        jfreq = crng.integers(1, 7, size=(29,)).astype(np.float32)
+        jphase = crng.uniform(0, 2 * np.pi, size=(29,)).astype(np.float32)
         for i in range(clips_per_class):
             vid = f"c{cls:03d}_{i}"
             t = int(rng.integers(frames[0], frames[1]))
@@ -50,7 +60,11 @@ def write_synthetic_dataset(root: str, dataset_name: str = "SYNTH",
             wave = 0.08 * np.sin(2 * np.pi * freq * np.linspace(0, 1, t) + phase)
             clip[:, 9:29, 1] += wave[:, None]
             if num_classes > 16:
-                clip[:, 9:29, :2] += pattern[None]
+                clip[:, :, :2] += pattern[None]
+                tt = np.linspace(0, 1, t, dtype=np.float32)[:, None]
+                motion = 0.1 * np.sin(
+                    2 * np.pi * jfreq[None, :] * tt + jphase[None, :])
+                clip[:, :, 1] += motion
             data_map[vid] = np.clip(clip, 0.0, 1.0)
             vid_class[vid] = cls
             split = "train" if i < clips_per_class - 2 else ("val" if i == clips_per_class - 2 else "test")

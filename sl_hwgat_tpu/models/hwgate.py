@@ -585,23 +585,33 @@ class HWGATE(nn.Module):
     # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(depth) less
     # activation HBM — lifts the per-chip batch ceiling (b64 OOMs without it)
     remat: bool = False
-    # 'token' (default): (B, F, K, D) stream, blocks window-partition per
-    # call. 'feature': the round-4 FEATURE-MAJOR stream regime — the stream
-    # stays (D, B, f, nW·TP·W) through LN/FFN/residual for the whole model,
-    # the wide Pallas kernel consumes the projections' output as a pure view,
+    # 'feature': the round-4 FEATURE-MAJOR stream regime — the stream stays
+    # (D, B, f, nW·TP·W) through LN/FFN/residual for the whole model, the
+    # wide Pallas kernel consumes the projections' output as a pure view,
     # and the per-block head-split layout crossings (~18 ms/step, round-4
-    # profile) disappear; one real relayout at model entry. Falls back to
-    # 'token' when the window geometry doesn't pack to 128 lanes or a
-    # sharded-attention context is active. Checkpoints are interchangeable.
-    stream_layout: str = "token"
+    # profile) disappear; one real relayout at model entry. Measured (b16
+    # bf16 rbg flagship): train 95.4 → 87.3 ms (183 clips/s, 0.94 of the
+    # step roofline), eval 38.6 → 31.0 ms. 'token': the (B, F, K, D) stream
+    # with per-block window partition. 'auto' (default): feature on TPU when
+    # the window geometry packs to 128 lanes, token elsewhere (CPU pallas
+    # runs interpreted — pathological) and under a sharded-attention context
+    # (the factored tp/dp/sp path owns its own layout). Checkpoints are
+    # interchangeable across all three.
+    stream_layout: str = "auto"
 
     def _stream(self) -> str:
         return (self.compute_dtype if self.stream_dtype == "auto"
                 else self.stream_dtype)
 
     def _use_feature_major(self) -> bool:
-        if self.stream_layout != "feature":
+        if self.stream_layout == "token":
             return False
+        if self.stream_layout == "auto":
+            import jax
+
+            if (jax.default_backend() != "tpu"
+                    or self.attn_impl not in ("auto", "pallas")):
+                return False
         from sl_hwgat_tpu.parallel import kernel_sharding
 
         n = self.temporal_patch * self.window_size
