@@ -47,10 +47,14 @@ CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", "480"))
 # conversion-free — round-1's f32-out measurement carried a ~143µs XLA astype
 # pass per iteration that was NOT kernel time, see tools/kernel_batch16).
 CONFIGS = [
-    # Round-3 production forward: batched transposed-score schedule — ALL
-    # FOUR streams physically unpadded (T, DH, SN) bf16 + one batched
-    # dot_general per block for Sᵀ and Oᵀ. 479µs on-chip vs the 477µs XLA
-    # shape calibration ⇒ ~0.99 of roofline (tools/kernel_batch29/30).
+    # Round-4 headline estimator: the production batched transposed-score
+    # kernel AND its XLA shape calibration timed INTERLEAVED in ONE child,
+    # vs_baseline = median of per-pair ratios — immune to the chip-state
+    # drift that separate child measurements sampled minutes apart
+    # (ratio moved 0.85–0.88 across runs with either estimator's numerator
+    # and denominator both drifting 10%).
+    ("fused_tscore_batched_bf16_paired", "pair_tscore_bf16",
+     {"PALLAS_ATTN_BATCHED": "1"}, "bfloat16", 2),
     ("fused_tscore_batched_bf16", "pallas_tspre_bf16",
      {"PALLAS_ATTN_BATCHED": "1"}, "bfloat16", 2),
     ("fused_bf16_obf16_tg16", "pallas_obf16", {}, "bfloat16", 2),
@@ -189,7 +193,17 @@ def main():
     # the kernel's exact matmul shapes on today's chip; the hardcoded
     # constants remain the fallback when the calib child wedges.
     calib_tflops = None
-    if fresh:
+    if fresh and measured.get("calib_time_us"):
+        # paired estimator: the calib ran interleaved inside the same child
+        tiles = UNITS / 4
+        tile_flops = 2 * 2 * 128 * 128 * 64
+        calib_tflops = tiles * tile_flops / (measured["calib_time_us"] / 1e6)
+        print(f"# bench: paired session calib {measured['calib_time_us']:.0f}us "
+              f"({calib_tflops/1e12:.1f} TF/s shape rate), per-pair ratio "
+              f"median {measured['ratio_vs_calib']} "
+              f"[{measured['ratio_min']}, {measured['ratio_max']}]",
+              file=sys.stderr)
+    elif fresh:
         calib = run_child(f"calib_shape_{'bf16' if dtype == 'bfloat16' else 'f32'}",
                           {}, budget)
         if calib is not None and calib.get("tflops"):
@@ -206,11 +220,13 @@ def main():
 
     metric = ("fused_window_attention_edges_per_sec" if name.startswith("fused")
               else "stacked_window_attention_edges_per_sec")
+    vs = (measured["ratio_vs_calib"] if measured.get("ratio_vs_calib")
+          else round(edges_per_sec / roofline_edges_per_sec, 4))
     print(json.dumps({
         "metric": metric,
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
-        "vs_baseline": round(edges_per_sec / roofline_edges_per_sec, 4),
+        "vs_baseline": vs,
     }))
     spread = ""
     if "time_us_min" in measured:

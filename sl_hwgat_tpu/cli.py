@@ -88,9 +88,20 @@ def configure_prng(choice: str = "auto") -> None:
 
 def run(cfg, progress=True):
     """Full train/test flow for a RunConfig. Returns final results dict."""
+    import os
+
     import jax
 
     configure_prng(getattr(cfg, "prng", "auto"))
+    if os.environ.get("SL_HWGAT_NO_COMPILE_CACHE") != "1":
+        # persistent compile cache: a re-launch of the same config costs
+        # seconds instead of minutes of (remote) XLA compilation
+        try:
+            jax.config.update("jax_compilation_cache_dir", os.path.join(
+                os.path.expanduser("~"), ".cache", "sl_hwgat_tpu_xla"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass
 
     from sl_hwgat_tpu.data.dataset import get_loaders
     from sl_hwgat_tpu.models import MODEL_NUM_KPS, MODEL_RNG_STREAMS, build_model

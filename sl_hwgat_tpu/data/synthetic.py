@@ -48,7 +48,7 @@ def write_synthetic_dataset(root: str, dataset_name: str = "SYNTH",
         # - a per-joint oscillation pattern (class-seeded frequency/phase
         #   per joint) — temporal structure that per-clip static offsets and
         #   the shoulder-anchored normalization cannot remove.
-        pattern = crng.uniform(-0.25, 0.25, size=(29, 2)).astype(np.float32)
+        pattern = crng.uniform(-0.4, 0.4, size=(29, 2)).astype(np.float32)
         jfreq = crng.integers(1, 7, size=(29,)).astype(np.float32)
         jphase = crng.uniform(0, 2 * np.pi, size=(29,)).astype(np.float32)
         for i in range(clips_per_class):
@@ -62,9 +62,12 @@ def write_synthetic_dataset(root: str, dataset_name: str = "SYNTH",
             if num_classes > 16:
                 clip[:, :, :2] += pattern[None]
                 tt = np.linspace(0, 1, t, dtype=np.float32)[:, None]
-                motion = 0.1 * np.sin(
+                motion = 0.15 * np.sin(
                     2 * np.pi * jfreq[None, :] * tt + jphase[None, :])
                 clip[:, :, 1] += motion
+                # keep strictly inside (0, 1): exact 0.0 coordinates read as
+                # "missing joint" to NormalizeKeypoints/HandCorrection
+                clip = np.clip(clip, 0.02, 0.98)
             data_map[vid] = np.clip(clip, 0.0, 1.0)
             vid_class[vid] = cls
             split = "train" if i < clips_per_class - 2 else ("val" if i == clips_per_class - 2 else "test")

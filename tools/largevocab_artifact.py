@@ -1,0 +1,83 @@
+"""Build LARGEVOCAB_r04.json from a finished SYNTH-2000 training log.
+
+Usage: python tools/largevocab_artifact.py /tmp/lv/train.log [out.json]
+
+Parses the per-epoch lines the CLI prints, computes wall-clock epoch pace
+from the log timestamps where available, and records the convergence curve
++ final test table (VERDICT r3 item 4 / BASELINE config 4 regime).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+
+def main():
+    log_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lv/train.log"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "LARGEVOCAB_r04.json")
+    text = open(log_path).read()
+    epochs = []
+    for m in re.finditer(
+            r"epoch\s+(\d+) \| tr_ls\s+([\d.]+) tr_ac ([\d.]+) \| "
+            r"v_ls\s+([\d.]+) v_ac ([\d.]+)", text):
+        epochs.append({"epoch": int(m.group(1)),
+                       "train_loss": float(m.group(2)),
+                       "train_acc": float(m.group(3)),
+                       "val_loss": float(m.group(4)),
+                       "val_acc": float(m.group(5))})
+    final = {}
+    m = re.search(r"train acc ([\d.]+) \| val acc ([\d.]+) \| test acc ([\d.]+)",
+                  text)
+    if m:
+        final = {"train_acc": float(m.group(1)), "val_acc": float(m.group(2)),
+                 "test_acc": float(m.group(3))}
+    m = re.search(r"train loss ([\d.]+) \| val loss ([\d.]+) \| test loss ([\d.]+)",
+                  text)
+    if m:
+        final.update({"train_loss": float(m.group(1)),
+                      "val_loss": float(m.group(2)),
+                      "test_loss": float(m.group(3))})
+    chance = 1.0 / 2000.0
+    art = {
+        "round": 4,
+        "config": {
+            "dataset": "SYNTH-2000 (WLASL-2000 shape: 2000 classes, src_len 64)",
+            "clips": {"train": 4000, "val": 2000, "test": 2000},
+            "model": "HWGATE flagship (embed 128, depths (2,2,4), heads (2,4,8))",
+            "regime": ("full train augmentation (masked-joint, shear, rotate, "
+                       "temporal resample, flip), AdamW 5e-4 cosine T_max 20, "
+                       "label-smoothed CE, bf16 compute + bf16 stream, rbg "
+                       "PRNG, remat, batch 32, feature-major stream layout "
+                       "(TPU default)"),
+            "hardware": "1x TPU v5e via the axon relay",
+        },
+        "curve": epochs,
+        "final": final,
+        "chance_acc": chance,
+        "val_acc_over_chance": round((final.get("val_acc") or
+                                      (epochs[-1]["val_acc"] if epochs else 0))
+                                     / chance, 1),
+        "loss_drop": (round(epochs[0]["train_loss"] - epochs[-1]["train_loss"], 3)
+                      if epochs else None),
+        "notes": ("ln(2000)=7.601 is the chance-level loss. Signal-design "
+                  "history: two earlier 20-epoch runs trained flat at chance "
+                  "because the synthetic class signal was weaker than the "
+                  "clip generator's own per-joint offsets and was further "
+                  "diluted by shoulder-anchored normalization — diagnosed "
+                  "with nearest-centroid probes over the exact train/eval "
+                  "transform pipelines, fixed in data/synthetic.py "
+                  "(amplitude above the intra-class spread + a per-joint "
+                  "oscillation pattern that normalization cannot remove)."),
+    }
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"wrote {out_path}: {len(epochs)} epochs, final={final}")
+
+
+if __name__ == "__main__":
+    main()
