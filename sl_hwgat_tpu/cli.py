@@ -29,6 +29,10 @@ def parser():
     p.add_argument("-k", "--topk", type=int, default=1)
     p.add_argument("--epochs", type=int, default=None, help="override epoch count")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override base learning rate (reference default 5e-4 "
+                        "was tuned for batch 4; linear scaling suggests "
+                        "~lr*bs/4 at larger batches)")
     p.add_argument("--trace", type=str, default=None,
                    help="capture a jax.profiler trace of the run into this directory")
     p.add_argument("--ckpt-backend", type=str, default="pickle",
@@ -211,6 +215,8 @@ def main():
         cfg.epochs = args.epochs
     if args.batch_size is not None:
         cfg.batch_size = args.batch_size
+    if args.lr is not None:
+        cfg.lr = args.lr
     cfg.ckpt_backend = args.ckpt_backend
     cfg.grad_accum = args.grad_accum
     if args.attn_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):

@@ -90,6 +90,13 @@ class Loader:
     # (repeat the last real id; `dataset.get` is deterministic per
     # (seed, epoch, id), so this equals the old repeat-the-array padding).
     row_slice: tuple | None = None
+    # cache_transforms: materialize every batch on the first epoch and replay
+    # it afterwards. ONLY valid when the transform pipeline is deterministic
+    # and epoch-independent (the EVAL transform: HandCorrection / Normalize /
+    # TemporalSample(no shift) / WindowCreate draw no randomness), i.e. the
+    # val/test loaders — re-transforming 2000 val clips every epoch cost
+    # ~15 s/epoch of the 2-core host budget on the large-vocab anchor.
+    cache_transforms: bool = False
 
     def _batch_ids(self, order, s: int):
         ids = order[s : s + self.batch_size]
@@ -147,6 +154,11 @@ class Loader:
         """Batches with ``prefetch``-deep pipelining: samples for the next
         batches transform in worker threads while the caller consumes the
         current batch (host-side analogue of double-buffered device feeding)."""
+        if self.cache_transforms:
+            cached = getattr(self, "_cache", None)
+            if cached is not None:
+                yield from cached
+                return
         order = self._order(epoch)
         starts = list(range(0, len(self.dataset), self.batch_size))
         pending = getattr(self, "_warm", {}).pop(epoch, None)
@@ -154,12 +166,18 @@ class Loader:
             pending = [self._submit(order, s, epoch)
                        for s in starts[: self.prefetch + 1]]
         next_submit = min(self.prefetch + 1, len(starts))
+        batches = [] if self.cache_transforms else None
         for _ in starts:
             futures = pending.pop(0)
             if next_submit < len(starts):
                 pending.append(self._submit(order, starts[next_submit], epoch))
                 next_submit += 1
-            yield self._collect(futures)
+            batch = self._collect(futures)
+            if batches is not None:
+                batches.append(batch)
+            yield batch
+        if batches is not None:
+            self._cache = batches
         if self.auto_warm_next:
             self.warm(epoch + 1)
 
@@ -190,13 +208,17 @@ def get_loaders(cfg, train_transform, eval_transform):
     vid_splits, vid_cls, vid_feat = load_artifacts(cfg.data)
     tt = eval_transform if cfg.mode == "test" else train_transform
 
-    def mk(split, transform, shuffle):
+    def mk(split, transform, shuffle, cache=False):
         ds = KeypointDataset(vid_splits[split], vid_feat, vid_cls, transform, seed=cfg.seed)
         return Loader(ds, cfg.batch_size, shuffle=shuffle, num_workers=cfg.n_workers,
-                      seed=cfg.seed, auto_warm_next=shuffle)
+                      seed=cfg.seed, auto_warm_next=shuffle,
+                      cache_transforms=cache)
 
     return (
         mk("train", tt, shuffle=cfg.mode != "test"),
-        mk("val", eval_transform, shuffle=False),
-        mk("test", eval_transform, shuffle=False),
+        # val/test run the deterministic eval transform — cache the
+        # transformed batches after the first pass (the epoch driver
+        # re-evaluates val every epoch)
+        mk("val", eval_transform, shuffle=False, cache=True),
+        mk("test", eval_transform, shuffle=False, cache=True),
     )

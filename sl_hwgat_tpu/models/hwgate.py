@@ -475,15 +475,26 @@ class FMWindowedMSA(nn.Module):
             prune_u = jax.random.uniform(self.make_rng("prune"), ())
 
         adj = np.asarray(self.adj, dtype=np.float32)
-        kw = dict(scale=dh**-0.5, stack=stack, pad_tokens=pad,
-                  prune_u=prune_u, transposed="wide")
-        if attn_bf16:
-            kw["out_dtype"] = jnp.bfloat16
+        tail_kw = {}
         if self.tail_shift_mask is not None:
             tail_adj = adj * np.asarray(self.tail_shift_mask, dtype=np.float32)
-            kw.update(tail_adj=tail_adj,
-                      units_per_group=self.windows_per_frame, groups=f)
-        out = pallas_window_attention(q, k, v, adj, **kw)  # (h, dh, T_h, 128)
+            tail_kw = dict(tail_adj=tail_adj,
+                           units_per_group=self.windows_per_frame, groups=f)
+        od = jnp.bfloat16 if attn_bf16 else None
+        # Under make_sharded_steps, run the wide kernel per-shard (tp on
+        # heads, dp/sp on supertiles — `kernel_sharding.call_wide`); None ⇒
+        # no context / split inapplicable → single fused call.
+        from sl_hwgat_tpu.parallel import kernel_sharding
+
+        out = kernel_sharding.call_wide(
+            q, k, v, adj, scale=dh**-0.5, stack=stack, prune_u=prune_u,
+            out_dtype=od, **tail_kw)
+        if out is None:
+            kw = dict(scale=dh**-0.5, stack=stack, pad_tokens=pad,
+                      prune_u=prune_u, transposed="wide", **tail_kw)
+            if od is not None:
+                kw["out_dtype"] = od
+            out = pallas_window_attention(q, k, v, adj, **kw)  # (h, dh, T_h, 128)
         out = FeatureDenseFromWide(self.dim, dtype=cdt, name="proj")(
             out.astype(cdt))
         out = out.reshape(self.dim, b, f, length)
@@ -594,9 +605,11 @@ class HWGATE(nn.Module):
     # step roofline), eval 38.6 → 31.0 ms. 'token': the (B, F, K, D) stream
     # with per-block window partition. 'auto' (default): feature on TPU when
     # the window geometry packs to 128 lanes, token elsewhere (CPU pallas
-    # runs interpreted — pathological) and under a sharded-attention context
-    # (the factored tp/dp/sp path owns its own layout). Checkpoints are
-    # interchangeable across all three.
+    # runs interpreted — pathological). Under a sharded-attention context FM
+    # runs the wide kernel per-shard (`kernel_sharding.call_wide`: tp on
+    # heads, dp/sp on supertiles) and only steps aside when tp cannot split
+    # every stage's head count. Checkpoints are interchangeable across all
+    # three.
     stream_layout: str = "auto"
 
     def _stream(self) -> str:
@@ -606,6 +619,16 @@ class HWGATE(nn.Module):
     def _use_feature_major(self) -> bool:
         if self.stream_layout == "token":
             return False
+        if self.stream_layout == "feature":
+            # the FM block has exactly one attention path (the wide Pallas
+            # kernel); an explicit 'xla'/'hybrid'/'stacked' request would be
+            # silently ignored — refuse instead (ADVICE r4)
+            if self.attn_impl not in ("auto", "pallas"):
+                raise ValueError(
+                    f"stream_layout='feature' runs the wide Pallas kernel; "
+                    f"attn_impl={self.attn_impl!r} is not expressible on the "
+                    f"feature-major stream — use attn_impl='auto'/'pallas' "
+                    f"or stream_layout='token'")
         if self.stream_layout == "auto":
             import jax
 
@@ -617,9 +640,17 @@ class HWGATE(nn.Module):
         n = self.temporal_patch * self.window_size
         stack, pad = _supertile_stack(n)
         nw = self.num_kps // self.window_size
-        return (pad is None and stack * n == 128 and nw % stack == 0
-                and self.num_kps == nw * self.window_size
-                and not kernel_sharding.has_context())
+        if not (pad is None and stack * n == 128 and nw % stack == 0
+                and self.num_kps == nw * self.window_size):
+            return False
+        # Under a sharded-attention context the wide kernel runs per-shard
+        # (`kernel_sharding.call_wide`: tp on heads, dp/sp on supertiles) —
+        # FM only steps aside when tp cannot split every stage's head count
+        # (the token path's factored split per-block fallback handles that).
+        tp = kernel_sharding.tp_size()
+        if tp > 1 and any(h % tp for h in self.num_heads):
+            return False
+        return True
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -47,10 +47,11 @@ class BandedMSA(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     compute_dtype: str = "float32"
-    # 'auto' → the measured winner (banded XLA — the compact, Pallas-fused,
-    # and ELL formulations all lose on-chip at these shapes, see ROADMAP
-    # policy table); 'compact' | 'ell' | 'pallas_banded' select the
-    # alternatives.
+    # 'auto' → on TPU with a diagonal ±1 band: the frame-packed fused
+    # kernel ('pallas_packed', round-4 winner — see the routing block
+    # below for the measured numbers); everywhere else banded XLA.
+    # 'banded' | 'compact' | 'ell' | 'pallas_banded' force the
+    # alternatives (policy table in ROADMAP.md).
     attn_impl: str = "auto"
 
     @nn.compact

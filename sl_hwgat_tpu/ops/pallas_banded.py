@@ -392,19 +392,22 @@ def _packed_softmax(st, s_prev, s_next, n_tiles):
     return e_self / denom, e_prev / denom, e_next / denom
 
 
+def _fwd_kernel_packed_mm(q_ref, k_ref, v_ref, mself_ref, padd_ref, nadd_ref,
+                          o_ref, *, scale, n_tiles, vp):
+    """Decomposition probe: the two batched dots only (no VPU band scores,
+    masking, softmax, or identity aggregation). Selected HOST-side (distinct
+    kernel ⇒ distinct jit cache entry) and forward-only — see
+    ``pallas_packed_banded_attention``."""
+    qw, kw, vw = q_ref[0], k_ref[0], v_ref[0]           # (dh, L)
+    qs, ks, vs = (_tiles(w, n_tiles) for w in (qw, kw, vw))
+    st = _bdot(ks, qs, 1, 1)
+    o3 = _bdot(vs, st.astype(vw.dtype), 2, 1)
+    o_ref[0] = _untile(o3, n_tiles).astype(o_ref.dtype)
+
+
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, mself_ref, padd_ref, nadd_ref,
                        o_ref, *, scale, n_tiles, vp):
-    import os as _os
-
     qw, kw, vw = q_ref[0], k_ref[0], v_ref[0]           # (dh, L)
-    if _os.environ.get("PALLAS_BANDED_PACKED_MM") == "1":
-        # decomposition probe: the two batched dots only (no VPU band
-        # scores, masking, softmax, or identity aggregation)
-        qs, ks, vs = (_tiles(w, n_tiles) for w in (qw, kw, vw))
-        st = _bdot(ks, qs, 1, 1)
-        o3 = _bdot(vs, st.astype(vw.dtype), 2, 1)
-        o_ref[0] = _untile(o3, n_tiles).astype(o_ref.dtype)
-        return
     s_prev, s_next = _band_scores(qw, kw, vp, scale)
     s_prev = s_prev + padd_ref[:]
     s_next = s_next + nadd_ref[:]
@@ -563,7 +566,11 @@ def _packed_bwd(band_key, scale, vp, out_dtype, res, grad):
     q, k, v = res
     g, h, f, vtok, dh = q.shape
     qs, ks, vs = (_pack_plane(x, vp) for x in (q, k, v))
-    gs = _pack_plane(grad.astype(jnp.float32), vp)
+    # dO rides in the STREAM dtype: the kernel's MXU dots contract it
+    # against the bf16 q/k/v planes (mixed-dtype dot_general is an untested
+    # Mosaic lowering, and an f32 dO stream doubles its HBM traffic); the
+    # VPU band terms upcast per-element inside the kernel as before.
+    gs = _pack_plane(grad.astype(q.dtype), vp)
     masks = _packed_masks(band_key, vp, f)
     dq, dk, dv = _packed_call(_bwd_kernel_packed, 3, qs, ks, vs, (gs,), masks,
                               scale=scale, vp=vp, out_dtype=q.dtype)
@@ -597,6 +604,21 @@ def pallas_packed_banded_attention(q, k, v, band_mask, *, scale: float,
     if (q.shape[2] * vp) % ROWS:
         raise ValueError(f"F·Vp ({q.shape[2]}·{vp}) must be a multiple of {ROWS}")
     key = _cache_band(band)
+    import os
+
+    if os.environ.get("PALLAS_BANDED_PACKED_MM") == "1":
+        # MM-only decomposition probe, selected HOST-side so it compiles as
+        # a different kernel (a trace-time env read inside the kernel body
+        # would silently reuse the stale cache on toggle). Forward-only: no
+        # custom_vjp is attached, so differentiating the probe raises
+        # instead of pairing it with the real backward.
+        g, h, f, vtok, dh = q.shape
+        qs, ks, vs = (_pack_plane(x, vp) for x in (q, k, v))
+        masks = _packed_masks(key, vp, f)
+        out = _packed_call(_fwd_kernel_packed_mm, 1, qs, ks, vs, (), masks,
+                           scale=float(scale), vp=int(vp),
+                           out_dtype=jnp.dtype(out_dtype))
+        return _unpack_plane(out, g, h, f, vtok, dh, vp)
     return _packed(q, k, v, key, float(scale), int(vp), out_dtype)
 
 

@@ -312,29 +312,41 @@ class BatchingQueue:
                 return
 
     def _run(self, batch, acquired: bool = False) -> None:
-        groups: dict = {}
-        for x, fut in batch:
-            groups.setdefault(x.shape, []).append((x, fut))
-        p = self.predictor
-        for shape, items in groups.items():
-            n = len(items)
-            b = p._bucket(n)
-            xp = np.zeros((b,) + shape, np.float32)
-            xp[:n] = np.stack([x for x, _ in items])
+        # Runs on the dispatch pool, whose futures nobody awaits — so ANY
+        # uncaught exception here would vanish, leaking the in-flight token
+        # and hanging every client future in the batch. The outer try is the
+        # last line of defense for the unguarded host work (grouping,
+        # np.stack, bucketing).
+        try:
+            groups: dict = {}
+            for x, fut in batch:
+                groups.setdefault(x.shape, []).append((x, fut))
+            p = self.predictor
+            for shape, items in groups.items():
+                n = len(items)
+                b = p._bucket(n)
+                xp = np.zeros((b,) + shape, np.float32)
+                xp[:n] = np.stack([x for x, _ in items])
+                if acquired:
+                    acquired = False
+                else:
+                    self._inflight.acquire()
+                try:
+                    # async dispatch: returns immediately with an on-device
+                    # result; materialization happens on the completion thread
+                    dev = p._fn(b, shape)(p.variables, jnp.asarray(xp))
+                except Exception as e:  # pragma: no cover - device failure path
+                    self._inflight.release()
+                    for _, fut in items:
+                        fut.set_exception(e)
+                    continue
+                self._done_q.put((dev, items))
+        except Exception as e:  # pragma: no cover - host-side failure path
             if acquired:
-                acquired = False
-            else:
-                self._inflight.acquire()
-            try:
-                # async dispatch: returns immediately with an on-device
-                # result; materialization happens on the completion thread
-                dev = p._fn(b, shape)(p.variables, jnp.asarray(xp))
-            except Exception as e:  # pragma: no cover - device failure path
                 self._inflight.release()
-                for _, fut in items:
+            for _, fut in batch:
+                if not fut.done():
                     fut.set_exception(e)
-                continue
-            self._done_q.put((dev, items))
 
     def _complete_loop(self) -> None:
         while True:

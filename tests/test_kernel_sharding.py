@@ -146,3 +146,98 @@ def test_hwgate_forward_tp_head_major_matches_plain():
     with kernel_sharding.sharded_window_attention(mesh):
         got = model.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+# --- Feature-major (wide-layout) sharding: kernel_sharding.call_wide --------
+
+
+def qkv_wide(h, dh, t, sn=128, seed=20):
+    r = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(r.normal(size=(h, dh, t, sn)).astype(np.float32))
+        for _ in range(3)
+    )
+
+
+@pytest.mark.parametrize("dp,sp", [(2, 1), (2, 2), (4, 2)])
+def test_call_wide_matches_unsharded_plain(dp, sp):
+    q, k, v = qkv_wide(2, 16, 8, seed=21)
+    want = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4,
+                                   transposed="wide")
+    with kernel_sharding.sharded_window_attention(mesh2d(dp, sp)):
+        got = kernel_sharding.call_wide(q, k, v, ADJ32, scale=0.25, stack=4)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("dp,sp", [(2, 2), (4, 2)])
+def test_call_wide_dual_mask_per_shard_phase(dp, sp):
+    # b=2 batch, f=4 temporal groups, nw=4 windows/frame → 8 supertiles per
+    # head row; the dp·sp split lands mid-period, so per-shard sel vectors
+    # must carry the GLOBAL group phase
+    nw, f = 4, 4
+    q, k, v = qkv_wide(2, 16, 8, seed=22)
+    r = np.random.default_rng(23)
+    tail = ADJ32 * (r.random(ADJ32.shape) > 0.3)
+    kw = dict(scale=0.25, stack=4, tail_adj=tail, units_per_group=nw, groups=f)
+    want = pallas_window_attention(q, k, v, ADJ32, transposed="wide", **kw)
+    with kernel_sharding.sharded_window_attention(mesh2d(dp, sp)):
+        got = kernel_sharding.call_wide(q, k, v, ADJ32, **kw)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_call_wide_tp_shards_heads(monkeypatch):
+    """With a tp axis, call_wide must hand each shard h/tp head rows and
+    T/(dp·sp) supertiles — attention compute fully sharded."""
+    from sl_hwgat_tpu.ops import pallas_attention as pa
+
+    q, k, v = qkv_wide(4, 16, 8, seed=24)
+    want = pallas_window_attention(q, k, v, ADJ32, scale=0.25, stack=4,
+                                   transposed="wide")
+    seen = []
+    orig = pa.pallas_window_attention
+
+    def spy(q_, *a, **kw):
+        seen.append(tuple(q_.shape))
+        return orig(q_, *a, **kw)
+
+    devs = np.array(jax.devices("cpu")[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("dp", "sp", "tp"))
+    import sl_hwgat_tpu.ops.pallas_attention as pmod
+
+    monkeypatch.setattr(pmod, "pallas_window_attention", spy)
+    with kernel_sharding.sharded_window_attention(mesh):
+        got = kernel_sharding.call_wide(q, k, v, ADJ32, scale=0.25, stack=4)
+    assert got is not None
+    assert seen and all(s == (2, 16, 2, 128) for s in seen), seen
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_call_wide_indivisible_tiles_fall_back():
+    q, k, v = qkv_wide(2, 16, 6, seed=25)  # 6 tiles % 8 shards != 0
+    with kernel_sharding.sharded_window_attention(mesh2d(4, 2)):
+        got = kernel_sharding.call_wide(q, k, v, ADJ32, scale=0.25, stack=4)
+    assert got is None
+
+
+@pytest.mark.slow
+def test_fm_model_forward_under_context_matches_token():
+    """Full HWGATE with the feature-major stream UNDER a dp/sp/tp sharding
+    context == the token-major stacked path (shifted blocks + merge included)
+    — VERDICT r4 item 3: the production layout composes with sharding."""
+    kw = dict(kp_dim=2, temporal_dim=16, num_classes=6, embed_dim=32,
+              depths=(1, 2), num_heads=(2, 2), drop_rate=0.0,
+              prune_attn=False)
+    token = HWGATE(**kw, attn_impl="stacked", stream_layout="token")
+    fm = HWGATE(**kw, attn_impl="pallas", stream_layout="feature")
+    r = np.random.default_rng(26)
+    x = jnp.asarray(r.normal(size=(2, 16, 64, 2)).astype(np.float32))
+    variables = token.init(jax.random.PRNGKey(0), x, train=False)
+    want = token.apply(variables, x, train=False)
+
+    devs = np.array(jax.devices("cpu")[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("dp", "sp", "tp"))
+    with kernel_sharding.sharded_window_attention(mesh):
+        got = fm.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -85,3 +85,26 @@ def test_composite_inference_decode():
     num, cls = decode_classes(200120345)
     assert num == 2
     assert cls == [12, 345]
+
+
+def test_cache_transforms_replays_identical_batches():
+    """cache_transforms (val/test loaders): epoch 1 must replay exactly the
+    batches materialized on epoch 0 — no re-transform, no drift."""
+    import numpy as np
+
+    from sl_hwgat_tpu.data.dataset import KeypointDataset, Loader
+
+    r = np.random.default_rng(0)
+    data = {f"v{i}": r.normal(size=(6, 4, 2)).astype(np.float32) for i in range(7)}
+    labels = {k: i % 3 for i, k in enumerate(data)}
+    ds = KeypointDataset(list(data), data, labels, transform=None)
+    ld = Loader(ds, batch_size=3, shuffle=False, num_workers=2,
+                cache_transforms=True)
+    first = [(f.copy(), l.copy(), v.copy()) for f, l, v in ld.epoch(0)]
+    second = list(ld.epoch(1))
+    assert len(first) == len(second) == 3
+    for (f0, l0, v0), (f1, l1, v1) in zip(first, second):
+        np.testing.assert_array_equal(f0, f1)
+        np.testing.assert_array_equal(l0, l1)
+        np.testing.assert_array_equal(v0, v1)
+    assert getattr(ld, "_cache", None) is not None

@@ -240,3 +240,67 @@ def test_gate_model_packed_impl_matches_default():
     want = ref.apply(variables, x, train=False)
     got = fused.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_packed_bf16_forward_and_gradients_close_to_f32():
+    """bf16 stream through the packed kernel (the TPU 'auto' path under
+    --compute-dtype bfloat16): fwd + fused bwd track the f32 oracle within
+    bf16 tolerance, and the dO stream is contracted in the stream dtype
+    (ADVICE r4: no mixed-dtype dot_general in the backward)."""
+    from sl_hwgat_tpu.ops.pallas_banded import pallas_packed_banded_attention
+
+    vtok = 29
+    f = 3 * 4  # Vp 32 → 4 frames per 128-token tile
+    r = np.random.default_rng(11)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(1, 2, f, vtok, 8)).astype(np.float32))
+        for _ in range(3)
+    )
+    band = make_band(vtok, edges_to_dense(BODY29_EDGES, vtok, self_loops=False))
+    want = banded_frame_attention(q, k, v, jnp.asarray(band), scale=0.25)
+    got = pallas_packed_banded_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        band, scale=0.25)
+    assert got.dtype == jnp.float32  # f32 accumulator output
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.05, rtol=0.05)
+
+    def loss(q, k, v):
+        return jnp.sum(banded_frame_attention(q, k, v, jnp.asarray(band),
+                                              scale=0.25) ** 2)
+
+    def loss_bf(q, k, v):
+        return jnp.sum(pallas_packed_banded_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), band, scale=0.25) ** 2)
+
+    g32 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gbf = jax.grad(loss_bf, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g32, gbf):
+        assert np.isfinite(np.asarray(b)).all(), name
+        denom = np.abs(np.asarray(a)).max() + 1e-6
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / denom < 0.1, name
+
+
+def test_packed_mm_probe_is_host_gated_and_forward_only(monkeypatch):
+    """PALLAS_BANDED_PACKED_MM=1 must select a DIFFERENT compiled kernel
+    (host-side gate — a trace-time env read would silently reuse the stale
+    cache) and must not differentiate (no custom_vjp pairing the probe
+    forward with the real backward)."""
+    from sl_hwgat_tpu.ops.pallas_banded import pallas_packed_banded_attention
+
+    vtok, f = 29, 4
+    r = np.random.default_rng(12)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(1, 1, f, vtok, 8)).astype(np.float32))
+        for _ in range(3)
+    )
+    band = make_band(vtok, edges_to_dense(BODY29_EDGES, vtok, self_loops=False))
+    real = pallas_packed_banded_attention(q, k, v, band, scale=0.5)
+    monkeypatch.setenv("PALLAS_BANDED_PACKED_MM", "1")
+    probe = pallas_packed_banded_attention(q, k, v, band, scale=0.5)
+    # the probe omits masking/softmax — a genuinely different program
+    assert np.abs(np.asarray(probe) - np.asarray(real)).max() > 1e-3
+    with pytest.raises(Exception):
+        jax.grad(lambda qq: jnp.sum(pallas_packed_banded_attention(
+            qq, k, v, band, scale=0.5)))(q)
