@@ -109,51 +109,75 @@ LAST_GOOD_STEP = {"time_us": 87313.1, "clips_per_sec": 183.2, "batch": 16,
                   "measured": "2026-08-21T02:35Z"}
 # (round-4 production: feature-major stream + FastLayerNorm + bf16 dropout
 # masks; round-3 close-out was 113.8ms / 140.6 clips/s.)
+LAST_GOOD_EVAL = {"time_us": 31000.0, "clips_per_sec": 516.0, "batch": 16,
+                  "measured": "2026-08-21T02:35Z"}
+
+
+def _run_step_child(batch: int, eval_mode: bool = False):
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(__file__), "bench_train_step.py"),
+           "bf16", str(batch)]
+    env = dict(os.environ)
+    # production default (cli.py configure_prng: rbg on TPU) — threefry
+    # dropout-bit generation alone costs 33.5ms/step (kernel_batch32)
+    env.setdefault("SL_HWGAT_PRNG", "rbg")
+    if eval_mode:
+        env["SL_HWGAT_STEP"] = "eval"
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=CHILD_TIMEOUT_S, env=env)
+        for line in out.stdout.splitlines():
+            if line.strip().startswith("{"):
+                return json.loads(line)
+    except subprocess.TimeoutExpired:
+        pass
+    return None
 
 
 def step_metric(calib_tflops=None):
     """Second metric (VERDICT r2 item 5): full HWGATE train step vs the
     analytic step roofline (`utils/profiling.py::hwgate_step_roofline` —
     GEMMs at the measured big-matmul bf16 rate + attention at the shape rate
-    + optimizer HBM traffic). When a session shape calibration is available,
-    both rates are scaled by (session rate / recorded rate) so the roofline
-    tracks today's chip state like the kernel headline does. Printed to
-    stderr (the driver contract is ONE stdout JSON line, which stays the
-    kernel headline)."""
+    + optimizer HBM traffic). BOTH ratios are reported (VERDICT r4 item 7):
+    ``vs_step_roofline`` against the SESSION-scaled roofline (rates scaled by
+    session-calib/recorded-calib, drift-immune) and ``vs_recorded_roofline``
+    against the fixed recorded rates — a slow chip day raises the first but
+    not the second, so neither can silently flatter the headline. Also
+    measures the EVAL step against its fwd-only roofline (VERDICT r4 item
+    8). Printed to stderr (the driver contract is ONE stdout JSON line,
+    which stays the kernel headline)."""
     from sl_hwgat_tpu.utils.profiling import hwgate_step_roofline
 
     batch = 16
-    rec = None
+    rec = erec = None
     if os.environ.get("BENCH_SKIP_STEP") != "1":
-        cmd = [sys.executable,
-               os.path.join(os.path.dirname(__file__), "bench_train_step.py"),
-               "bf16", str(batch)]
-        env = dict(os.environ)
-        # production default (cli.py configure_prng: rbg on TPU) — threefry
-        # dropout-bit generation alone costs 33.5ms/step (kernel_batch32)
-        env.setdefault("SL_HWGAT_PRNG", "rbg")
-        try:
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=CHILD_TIMEOUT_S, env=env)
-            for line in out.stdout.splitlines():
-                if line.strip().startswith("{"):
-                    rec = json.loads(line)
-                    break
-        except subprocess.TimeoutExpired:
-            pass
-    fresh = rec is not None
+        rec = _run_step_child(batch)
+        erec = _run_step_child(batch, eval_mode=True)
+    fresh, efresh = rec is not None, erec is not None
     if rec is None:
         rec = dict(LAST_GOOD_STEP)
+    if erec is None:
+        erec = dict(LAST_GOOD_EVAL)
     scale = (calib_tflops / CAL_SHAPE_TFLOPS["bfloat16"]) if calib_tflops else 1.0
-    roof = hwgate_step_roofline(batch, mxu_flops=47.3e12 * scale,
-                                shape_flops=27.0e12 * scale,
-                                mem_bw=CAL_MEM_BW * scale)
+
+    def roofs(train):
+        sess = hwgate_step_roofline(batch, train=train,
+                                    mxu_flops=47.3e12 * scale,
+                                    shape_flops=27.0e12 * scale,
+                                    mem_bw=CAL_MEM_BW * scale)
+        recd = hwgate_step_roofline(batch, train=train)
+        return sess["clips_per_sec"], recd["clips_per_sec"]
+
+    roof_s, roof_r = roofs(train=True)
+    eroof_s, eroof_r = roofs(train=False)
     out = {
         "metric": "hwgate_train_step_clips_per_sec",
         "value": round(rec["clips_per_sec"], 1),
         "unit": "clips/s",
-        "vs_step_roofline": round(rec["clips_per_sec"] / roof["clips_per_sec"], 4),
-        "roofline_clips_per_sec": round(roof["clips_per_sec"], 1),
+        "vs_step_roofline": round(rec["clips_per_sec"] / roof_s, 4),
+        "vs_recorded_roofline": round(rec["clips_per_sec"] / roof_r, 4),
+        "roofline_clips_per_sec": round(roof_s, 1),
+        "recorded_roofline_clips_per_sec": round(roof_r, 1),
         "fresh": fresh,
     }
     if "time_us_min" in rec:
@@ -161,6 +185,18 @@ def step_metric(calib_tflops=None):
             round(rec["time_us"] / 1e3, 1), round(rec["time_us_min"] / 1e3, 1),
             round(rec["time_us_max"] / 1e3, 1)]
     print(json.dumps(out), file=sys.stderr)
+    eout = {
+        "metric": "hwgate_eval_step_clips_per_sec",
+        "value": round(erec["clips_per_sec"], 1),
+        "unit": "clips/s",
+        "vs_eval_roofline": round(erec["clips_per_sec"] / eroof_s, 4),
+        "vs_recorded_roofline": round(erec["clips_per_sec"] / eroof_r, 4),
+        "roofline_clips_per_sec": round(eroof_s, 1),
+        "recorded_roofline_clips_per_sec": round(eroof_r, 1),
+        "fresh": efresh,
+        "eval_ms": round(erec["time_us"] / 1e3, 1),
+    }
+    print(json.dumps(eout), file=sys.stderr)
 
 
 def main():
@@ -222,11 +258,18 @@ def main():
               else "stacked_window_attention_edges_per_sec")
     vs = (measured["ratio_vs_calib"] if measured.get("ratio_vs_calib")
           else round(edges_per_sec / roofline_edges_per_sec, 4))
+    # BOTH ratios (VERDICT r4 item 7): vs_baseline is session-calibrated
+    # (drift-immune paired estimator); vs_recorded divides by the FIXED
+    # recorded-rate roofline, so a slow chip session cannot silently lower
+    # the bar — read them together.
+    t_c_rec, t_m_rec = roofline_seconds(dtype, elem_bytes, None)
+    vs_recorded = round(edges_per_sec * max(t_c_rec, t_m_rec) / edges, 4)
     print(json.dumps({
         "metric": metric,
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": vs,
+        "vs_recorded": vs_recorded,
     }))
     spread = ""
     if "time_us_min" in measured:

@@ -1,8 +1,11 @@
-"""Child process: measure the full HWGATE train step (fwd+bwd+AdamW) — or the
-eval step with SL_HWGAT_STEP=eval — on the TPU at the FDMSE-ISL flagship
-config and print one JSON line {impl, time_us, clips_per_sec}.
+"""Child process: measure a full train step (fwd+bwd+AdamW) — or the eval
+step with SL_HWGAT_STEP=eval — on the TPU at the FDMSE-ISL config and print
+one JSON line {impl, time_us, clips_per_sec}.
 
 Run as: python bench_train_step.py {f32|bf16} [batch]
+Model via SL_HWGAT_MODEL (default HWGATE; GATE/WGATE give the in-model
+verdict for the banded-family attn_impl default — VERDICT r4 item 2);
+attn_impl via SL_HWGAT_ATTN_IMPL.
 """
 
 from __future__ import annotations
@@ -35,9 +38,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from sl_hwgat_tpu.models import build_model
+    from sl_hwgat_tpu.models import MODEL_NUM_KPS, MODEL_RNG_STREAMS, build_model
     from sl_hwgat_tpu.train.loop import init_state, make_steps
 
+    model_name = os.environ.get("SL_HWGAT_MODEL", "HWGATE")
     overrides = {} if dtype == "f32" else {"compute_dtype": "bfloat16"}
     if os.environ.get("SL_HWGAT_ATTN_IMPL"):
         overrides["attn_impl"] = os.environ["SL_HWGAT_ATTN_IMPL"]
@@ -54,20 +58,28 @@ def main():
         overrides["stream_dtype"] = os.environ["SL_HWGAT_STREAM"]
     if os.environ.get("SL_HWGAT_STREAM_LAYOUT"):
         overrides["stream_layout"] = os.environ["SL_HWGAT_STREAM_LAYOUT"]
+    if model_name not in ("HWGATE", "HGATE"):
+        overrides.pop("remat", None)
+        overrides.pop("prune_attn", None)
+        overrides.pop("pe", None)
+        overrides.pop("stream_dtype", None)
+        overrides.pop("stream_layout", None)
     ds = {"src_len": 192, "num_class": 2002}  # FDMSE-ISL (constants.py)
-    model = build_model("HWGATE", ds, 2, **overrides)
+    model = build_model(model_name, ds, 2, **overrides)
+    kps = MODEL_NUM_KPS[model_name]
+    streams = MODEL_RNG_STREAMS[model_name]
 
     class Cfg:
         seed = 0
         optimizer_type = "adamw"
         lr = 5e-4
 
-    state, opt = init_state(model, Cfg, (192, 64, 2), ("dropout", "prune"))
-    tstep, estep = make_steps(model, opt, rng_streams=("dropout", "prune"),
+    state, opt = init_state(model, Cfg, (192, kps, 2), streams)
+    tstep, estep = make_steps(model, opt, rng_streams=streams,
                               mutable_stats=False, donate=False)
 
     r = np.random.default_rng(0)
-    x = jnp.asarray(r.normal(size=(batch, 192, 64, 2)).astype(np.float32))
+    x = jnp.asarray(r.normal(size=(batch, 192, kps, 2)).astype(np.float32))
     y = jnp.asarray(r.integers(0, 2002, size=(batch,)).astype(np.int64))
     valid = jnp.ones((batch,), jnp.float32)
     key = jax.random.PRNGKey(0)
@@ -89,7 +101,7 @@ def main():
             per.append((time.perf_counter() - t0) / steps)
         per_step = statistics.median(per)
         print(json.dumps({
-            "impl": f"eval_step_{dtype}",
+            "impl": f"{model_name}_eval_step_{dtype}",
             "time_us": per_step * 1e6,
             "time_us_min": min(per) * 1e6,
             "time_us_max": max(per) * 1e6,
@@ -118,7 +130,7 @@ def main():
     per_step = statistics.median(per)
 
     print(json.dumps({
-        "impl": f"train_step_{dtype}",
+        "impl": f"{model_name}_train_step_{dtype}",
         "time_us": per_step * 1e6,
         "time_us_min": min(per) * 1e6,
         "time_us_max": max(per) * 1e6,

@@ -1,4 +1,4 @@
-"""Build LARGEVOCAB_r04.json from a finished SYNTH-2000 training log.
+"""Build LARGEVOCAB_r05.json from a finished SYNTH-2000 training log.
 
 Usage: python tools/largevocab_artifact.py /tmp/lv/train.log [out.json]
 
@@ -19,7 +19,7 @@ def main():
     log_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/lv/train.log"
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "LARGEVOCAB_r04.json")
+        "LARGEVOCAB_r05.json")
     text = open(log_path).read()
     epochs = []
     for m in re.finditer(
@@ -44,13 +44,13 @@ def main():
                       "test_loss": float(m.group(3))})
     chance = 1.0 / 2000.0
     art = {
-        "round": 4,
+        "round": 5,
         "config": {
             "dataset": "SYNTH-2000 (WLASL-2000 shape: 2000 classes, src_len 64)",
             "clips": {"train": 4000, "val": 2000, "test": 2000},
             "model": "HWGATE flagship (embed 128, depths (2,2,4), heads (2,4,8))",
             "regime": ("full train augmentation (masked-joint, shear, rotate, "
-                       "temporal resample, flip), AdamW 5e-4 cosine T_max 20, "
+                       "temporal resample, flip), AdamW 5e-4 cosine T_max 20 (lr sweep: 1e-3/2e-3 never escape the uniform-logits plateau — tools/largevocab_sweep_r05.md), "
                        "label-smoothed CE, bf16 compute + bf16 stream, rbg "
                        "PRNG, remat, batch 32, feature-major stream layout "
                        "(TPU default)"),
