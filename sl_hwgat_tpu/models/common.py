@@ -94,8 +94,13 @@ class FastDropout(nn.Module):
     to bf16 resolution (≤0.4% relative, e.g. keep=0.9 → P(keep)≈0.8984) —
     imperceptible against dropout's own stochasticity; the statistical
     training-equivalence anchors (COVERAGE.md) are insensitive to the RNG
-    stream's exact distribution at this granularity. Set
-    ``SL_HWGAT_EXACT_DROPOUT=1`` to restore ``nn.Dropout`` everywhere.
+    stream's exact distribution at this granularity.
+
+    The bf16 draw is a TPU bandwidth optimization, so it is the default ON
+    TPU ONLY (ADVICE r4): everywhere else (CPU tests, torch matched-training
+    anchors) the exact ``nn.Dropout`` semantics apply. Overrides:
+    ``SL_HWGAT_EXACT_DROPOUT=1`` forces nn.Dropout everywhere,
+    ``SL_HWGAT_FAST_DROPOUT=1`` forces the bf16 path everywhere.
     """
 
     rate: float
@@ -106,7 +111,10 @@ class FastDropout(nn.Module):
         det = self.deterministic if deterministic is None else deterministic
         if det or self.rate == 0.0:
             return x
-        if os.environ.get("SL_HWGAT_EXACT_DROPOUT") == "1":
+        fast = os.environ.get("SL_HWGAT_FAST_DROPOUT") == "1" or (
+            os.environ.get("SL_HWGAT_EXACT_DROPOUT") != "1"
+            and jax.default_backend() == "tpu")
+        if not fast:
             return nn.Dropout(self.rate, deterministic=False)(x)
         keep = 1.0 - self.rate
         u = jax.random.uniform(self.make_rng("dropout"), x.shape, jnp.bfloat16)

@@ -48,10 +48,11 @@ class BandedMSA(nn.Module):
     proj_drop: float = 0.0
     compute_dtype: str = "float32"
     # 'auto' → on TPU with a diagonal ±1 band: the frame-packed fused
-    # kernel ('pallas_packed', round-4 winner — see the routing block
-    # below for the measured numbers); everywhere else banded XLA.
-    # 'banded' | 'compact' | 'ell' | 'pallas_banded' force the
-    # alternatives (policy table in ROADMAP.md).
+    # kernel ('pallas_packed') — the IN-MODEL winner at the FDMSE config
+    # (tools/banded_inmodel_r05.md: GATE train 81.8 vs 165.2 ms, WGATE
+    # train 230.7 vs 560.6 ms against banded-XLA, b16 bf16); everywhere
+    # else banded XLA. 'banded' | 'compact' | 'ell' | 'pallas_banded'
+    # force the alternatives (policy table in ROADMAP.md).
     attn_impl: str = "auto"
 
     @nn.compact
