@@ -61,12 +61,13 @@ def parser():
                         "update (large effective batch at microbatch memory)")
     p.add_argument("--attn-impl", type=str, default="auto",
                    choices=["auto", "stacked", "pallas", "hybrid",
-                            "pallas_banded", "banded", "compact", "ell"],
+                            "pallas_banded", "pallas_packed", "banded",
+                            "compact", "ell"],
                    help="attention path: auto (pallas on TPU, stacked "
                         "elsewhere), stacked (jnp/XLA), pallas (fully-fused "
                         "kernel), hybrid (XLA GEMMs + fused masked-softmax); "
-                        "banded/compact/ell/pallas_banded select the "
-                        "WGATE/GATE banded-family formulation")
+                        "banded/compact/ell/pallas_banded/pallas_packed "
+                        "select the WGATE/GATE banded-family formulation")
     p.add_argument("--prng", type=str, default="auto",
                    choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
                    help="PRNG implementation for dropout/prune keys. auto = "
@@ -227,7 +228,8 @@ def main():
         cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)
     if args.stream_dtype != "auto" and cfg.model_type == "HWGATE":
         cfg.overrides = dict(cfg.overrides, stream_dtype=args.stream_dtype)
-    if (args.attn_impl in ("pallas_banded", "banded", "compact", "ell")
+    if (args.attn_impl in ("pallas_banded", "pallas_packed", "banded",
+                           "compact", "ell")
             and cfg.model_type in ("WGATE", "GATE")):
         cfg.overrides = dict(cfg.overrides, attn_impl=args.attn_impl)
     cfg.prng = args.prng

@@ -61,6 +61,42 @@ class BandedMSA(nn.Module):
         h, f, vtok = self.num_heads, self.frames, self.tokens_per_frame
         dh = d // h
         cdt = jnp.dtype(self.compute_dtype)
+        from sl_hwgat_tpu.parallel.edge_partition import call_sharded_banded, sp_active
+
+        # ZERO-PAD plane path (VERDICT r4 item 2 residual): when V is already
+        # lane-exact (V == Vp, F·V % 128 == 0 — true for WGATE's 16-joint
+        # windows) the packed kernel's (G·H, dh, F·Vp) planes are emittable
+        # straight from TransposedDense projections (major-axis permutes
+        # only) — the ~1.2 ms/chain pack relayout of the array-level entry
+        # disappears. Param tree ≡ nn.Dense, checkpoints interchangeable.
+        from sl_hwgat_tpu.ops.pallas_banded import (
+            ROWS, _diag_band, pallas_packed_banded_attention_planes)
+
+        bandn = np.asarray(self.band, np.float32)
+        on_tpu = jax.default_backend() == "tpu"
+        use_planes = (
+            self.attn_impl in ("auto", "pallas_packed")
+            and vtok in (8, 16, 32, 64, 128)       # V == Vp, no pad
+            and (f * vtok) % ROWS == 0
+            and _diag_band(bandn)
+            and (on_tpu or self.attn_impl == "pallas_packed")
+            and not sp_active()
+        )
+        if use_planes:
+            from sl_hwgat_tpu.models.common import DenseFromTransposed, TransposedDense
+
+            qp, kp, vp = (
+                TransposedDense(d, dtype=cdt, name=nm)(x)       # (d, g, n)
+                .reshape(h, dh, g, n).transpose(2, 0, 1, 3)      # (g, h, dh, n)
+                .reshape(g * h, dh, n)
+                for nm in ("q", "k", "v")
+            )
+            out = pallas_packed_banded_attention_planes(
+                qp, kp, vp, bandn, scale=dh**-0.5, vp=vtok, frames=f)
+            out = DenseFromTransposed(d, dtype=cdt, name="proj")(
+                out.astype(cdt).reshape(g, h, dh, n))
+            return FastDropout(self.proj_drop, deterministic=not train)(out)
+
         # Separate q/k/v projections (head-major output columns): a Megatron
         # tp column split P(None, 'tp') lands on head groups and propagates
         # through the head reshape — the fused (3, h, dh) layout's split
@@ -85,8 +121,6 @@ class BandedMSA(nn.Module):
         # Under make_sharded_steps with an sp axis, route through the explicit
         # edge-partitioned (halo-exchange) path (BASELINE config 5); falls
         # back to the plain banded op (GSPMD-propagated) otherwise.
-        from sl_hwgat_tpu.parallel.edge_partition import call_sharded_banded
-
         out = call_sharded_banded(q, k, v, band, scale=dh**-0.5,
                                   impl="compact" if compact else "banded")
         if out is None and self.attn_impl == "ell":

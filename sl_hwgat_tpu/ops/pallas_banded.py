@@ -525,10 +525,46 @@ def _diag_band(band: np.ndarray) -> bool:
     return bool(np.all(band[0][off] <= NEG / 2) and np.all(band[2][off] <= NEG / 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _packed(q, k, v, band_key, scale, vp, out_dtype):
-    out, _ = _packed_fwd(q, k, v, band_key, scale, vp, out_dtype)
+# The custom_vjp boundary sits at the PLANE level ((G·H, dh, F·Vp) streams):
+# the (G,H,F,V,dh) pack/unpack views outside it differentiate automatically,
+# and callers that already hold the plane layout (the WGATE TransposedDense
+# zero-pad path, `models/wgate.py`) skip the pack entirely.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _packed_planes(qs, ks, vs, band_key, scale, vp, f, out_dtype):
+    out, _ = _packed_planes_fwd(qs, ks, vs, band_key, scale, vp, f, out_dtype)
     return out
+
+
+def _packed_planes_fwd(qs, ks, vs, band_key, scale, vp, f, out_dtype):
+    masks = _packed_masks(band_key, vp, f)
+    out = _packed_call(_fwd_kernel_packed, 1, qs, ks, vs, (), masks,
+                       scale=scale, vp=vp, out_dtype=jnp.dtype(out_dtype))
+    return out, (qs, ks, vs)
+
+
+def _packed_planes_bwd(band_key, scale, vp, f, out_dtype, res, grad):
+    qs, ks, vs = res
+    # dO rides in the STREAM dtype: the kernel's MXU dots contract it
+    # against the bf16 q/k/v planes (mixed-dtype dot_general is an untested
+    # Mosaic lowering, and an f32 dO stream doubles its HBM traffic); the
+    # VPU band terms upcast per-element inside the kernel as before.
+    gs = grad.astype(qs.dtype)
+    masks = _packed_masks(band_key, vp, f)
+    dq, dk, dv = _packed_call(_bwd_kernel_packed, 3, qs, ks, vs, (gs,), masks,
+                              scale=scale, vp=vp, out_dtype=qs.dtype)
+    return dq, dk, dv
+
+
+_packed_planes.defvjp(_packed_planes_fwd, _packed_planes_bwd)
+
+
+def _packed(q, k, v, band_key, scale, vp, out_dtype):
+    g, h, f, vtok, dh = q.shape
+    qs, ks, vs = (_pack_plane(x, vp) for x in (q, k, v))
+    out = _packed_planes(qs, ks, vs, band_key, scale, vp, f, out_dtype)
+    return _unpack_plane(out, g, h, f, vtok, dh, vp)
 
 
 def _packed_call(kernel, n_out, qs, ks, vs, extra, masks, *, scale, vp,
@@ -553,31 +589,31 @@ def _packed_call(kernel, n_out, qs, ks, vs, extra, masks, *, scale, vp,
     )(qs, ks, vs, *extra, *(jnp.asarray(m) for m in masks))
 
 
-def _packed_fwd(q, k, v, band_key, scale, vp, out_dtype):
-    g, h, f, vtok, dh = q.shape
-    qs, ks, vs = (_pack_plane(x, vp) for x in (q, k, v))
-    masks = _packed_masks(band_key, vp, f)
-    out = _packed_call(_fwd_kernel_packed, 1, qs, ks, vs, (), masks,
-                       scale=scale, vp=vp, out_dtype=jnp.dtype(out_dtype))
-    return _unpack_plane(out, g, h, f, vtok, dh, vp), (q, k, v)
+def pallas_packed_banded_attention_planes(qs, ks, vs, band_mask, *,
+                                          scale: float, vp: int, frames: int,
+                                          out_dtype=jnp.float32):
+    """Plane-layout entry to the frame-packed banded kernel: q/k/v arrive
+    ALREADY in the kernel's (G·H, dh, F·Vp) stream layout — no pack/unpack.
 
-
-def _packed_bwd(band_key, scale, vp, out_dtype, res, grad):
-    q, k, v = res
-    g, h, f, vtok, dh = q.shape
-    qs, ks, vs = (_pack_plane(x, vp) for x in (q, k, v))
-    # dO rides in the STREAM dtype: the kernel's MXU dots contract it
-    # against the bf16 q/k/v planes (mixed-dtype dot_general is an untested
-    # Mosaic lowering, and an f32 dO stream doubles its HBM traffic); the
-    # VPU band terms upcast per-element inside the kernel as before.
-    gs = _pack_plane(grad.astype(q.dtype), vp)
-    masks = _packed_masks(band_key, vp, f)
-    dq, dk, dv = _packed_call(_bwd_kernel_packed, 3, qs, ks, vs, (gs,), masks,
-                              scale=scale, vp=vp, out_dtype=q.dtype)
-    return tuple(_unpack_plane(x, g, h, f, vtok, dh, vp) for x in (dq, dk, dv))
-
-
-_packed.defvjp(_packed_fwd, _packed_bwd)
+    The WGATE zero-pad path (`models/wgate.py::BandedMSA`, V == Vp and
+    F·Vp % 128 == 0) emits this layout straight from TransposedDense
+    projections (major-axis permutes only), removing the ~1.2 ms/chain pack
+    relayout the array-level entry pays (VERDICT r4 item 2 residual).
+    Differentiable via the fused flash-style backward kernel.
+    """
+    band = np.asarray(band_mask, np.float32)
+    if not _diag_band(band):
+        raise ValueError("packed banded kernel needs diagonal prev/next "
+                         "band planes")
+    if qs.ndim != 3 or qs.shape[2] % ROWS:
+        raise ValueError(f"plane layout is (GH, dh, F*Vp) with F*Vp a "
+                         f"multiple of {ROWS}; got {qs.shape}")
+    if qs.shape[2] != frames * vp:
+        raise ValueError(f"plane lane dim {qs.shape[2]} != frames*vp "
+                         f"({frames}*{vp})")
+    key = _cache_band(band)
+    return _packed_planes(qs, ks, vs, key, float(scale), int(vp), int(frames),
+                          out_dtype)
 
 
 def pallas_packed_banded_attention(q, k, v, band_mask, *, scale: float,

@@ -54,6 +54,18 @@ def halo_banded_attention(mesh: Mesh, axis: str = "sp", batch_axis: str = "dp"):
         _CTX = prev
 
 
+def sp_active() -> bool:
+    """True when a halo context with a real (>1) sequence axis is active —
+    the banded models then keep the 5-D (G,H,F,V,dh) layout so
+    ``call_sharded_banded`` can halo-exchange, and skip the plane-layout
+    fast path (`models/wgate.py::BandedMSA`)."""
+    ctx = _CTX
+    if ctx is None:
+        return False
+    mesh, axis, _ = ctx
+    return axis in mesh.shape and mesh.shape[axis] > 1
+
+
 def call_sharded_banded(q, k, v, band_mask, *, scale: float,
                         impl: str = "banded"):
     """Route through the halo path if a context is active and the frame axis

@@ -304,3 +304,71 @@ def test_packed_mm_probe_is_host_gated_and_forward_only(monkeypatch):
     with pytest.raises(Exception):
         jax.grad(lambda qq: jnp.sum(pallas_packed_banded_attention(
             qq, k, v, band, scale=0.5)))(q)
+
+
+def test_plane_api_matches_array_level():
+    """`pallas_packed_banded_attention_planes` (the zero-pack entry) must
+    equal the array-level call on pre-packed planes, fwd and grads."""
+    from sl_hwgat_tpu.ops.pallas_banded import (
+        pallas_packed_banded_attention, pallas_packed_banded_attention_planes)
+
+    vtok, f, g, h, dh = 16, 8, 2, 2, 8  # V == Vp, F*V = 128
+    r = np.random.default_rng(30)
+    q, k, v = (
+        jnp.asarray(r.normal(size=(g, h, f, vtok, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    band = make_band(vtok, graphs.window_adj(window_size=16))
+
+    def planes(x):
+        return x.transpose(0, 1, 4, 2, 3).reshape(g * h, dh, f * vtok)
+
+    # (G,H,F,V,dh) → (GH, dh, F·Vp): F,V contiguous in lane order
+    def pack(x):
+        return x.transpose(0, 1, 2, 3, 4).reshape(g, h, f * vtok, dh) \
+                .transpose(0, 1, 3, 2).reshape(g * h, dh, f * vtok)
+
+    want = pallas_packed_banded_attention(q, k, v, band, scale=0.25)
+    got = pallas_packed_banded_attention_planes(
+        pack(q), pack(k), pack(v), band, scale=0.25, vp=vtok, frames=f)
+    got_arr = got.reshape(g, h, dh, f, vtok).transpose(0, 1, 3, 4, 2)
+    np.testing.assert_allclose(np.asarray(got_arr), np.asarray(want), atol=2e-5)
+
+    gw = jax.grad(lambda qq: jnp.sum(jnp.sin(
+        pallas_packed_banded_attention(qq, k, v, band, scale=0.25))))(q)
+    gp = jax.grad(lambda qq: jnp.sum(jnp.sin(
+        pallas_packed_banded_attention_planes(
+            pack(qq), pack(k), pack(v), band, scale=0.25, vp=vtok,
+            frames=f))))(q)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gw), atol=3e-5)
+
+
+def test_wgate_plane_path_matches_banded_default():
+    """WGATE with attn_impl='pallas_packed' routes through the ZERO-PACK
+    plane path (V=16 is lane-exact) — same logits and parameter gradients
+    as the banded-XLA default, sharing one param tree."""
+    from sl_hwgat_tpu.models.wgate import WGATE
+
+    kw = dict(kp_dim=2, num_kps=64, temporal_dim=8, num_classes=5,
+              embed_dim=32, depths=2, num_heads=2, window_size=16,
+              drop_rate=0.0)
+    ref = WGATE(**kw, attn_impl="banded")
+    fused = WGATE(**kw, attn_impl="pallas_packed")
+    x = jnp.asarray(np.random.default_rng(31).normal(size=(2, 8, 64, 2)),
+                    jnp.float32)
+    variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+    want = ref.apply(variables, x, train=False)
+    got = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+    def loss(model):
+        return lambda p: jnp.sum(jnp.sin(
+            model.apply({**variables, "params": p}, x, train=False)))
+
+    gw = jax.grad(loss(ref))(variables["params"])
+    gg = jax.grad(loss(fused))(variables["params"])
+    for (pw, w), (_, g) in zip(
+            jax.tree_util.tree_leaves_with_path(gw),
+            jax.tree_util.tree_leaves_with_path(gg)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-5,
+                                   err_msg=jax.tree_util.keystr(pw))
