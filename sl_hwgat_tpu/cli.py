@@ -31,8 +31,14 @@ def parser():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None,
                    help="override base learning rate (reference default 5e-4 "
-                        "was tuned for batch 4; linear scaling suggests "
-                        "~lr*bs/4 at larger batches)")
+                        "was tuned for batch 4; the SYNTH-2000 sweep showed "
+                        "anything above it collapses to the uniform-logits "
+                        "plateau — tools/largevocab_sweep_r05.md)")
+    p.add_argument("--t-max", type=int, default=None,
+                   help="cosine schedule period (reference default 20; torch "
+                        "CosineAnnealingLR is PERIODIC, so lr rises again "
+                        "after T_max epochs — set T_max=epochs for a single "
+                        "decay)")
     p.add_argument("--trace", type=str, default=None,
                    help="capture a jax.profiler trace of the run into this directory")
     p.add_argument("--ckpt-backend", type=str, default="pickle",
@@ -218,6 +224,8 @@ def main():
         cfg.batch_size = args.batch_size
     if args.lr is not None:
         cfg.lr = args.lr
+    if args.t_max is not None:
+        cfg.scheduler_t_max = args.t_max
     cfg.ckpt_backend = args.ckpt_backend
     cfg.grad_accum = args.grad_accum
     if args.attn_dtype != "float32" and cfg.model_type in ("HWGATE", "HGATE"):
