@@ -117,6 +117,7 @@ def main():
                                 "max_batch": max_batch},
                       "queue_clips_per_sec": round(n_req / q_wall, 1),
                       "queue_batches": queue.stats["batches"],
+                      "queue_batch_sizes": queue.stats.get("batch_sizes"),
                       "queue_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
                       "queue_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
                       "queue_speedup_vs_serial_b1": round(

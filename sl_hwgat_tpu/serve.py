@@ -364,5 +364,8 @@ class BatchingQueue:
             self._inflight.release()
             self.stats["batches"] += 1
             self.stats["rows"] += len(items)
+            # per-batch fill sizes: the coalescing diagnostic (small batches
+            # under load ⇒ dispatches pay the fixed RTT without amortizing it)
+            self.stats.setdefault("batch_sizes", []).append(len(items))
             for i, (_, fut) in enumerate(items):
                 fut.set_result(logits[i])
