@@ -50,10 +50,20 @@ def main():
             "clips": {"train": 4000, "val": 2000, "test": 2000},
             "model": "HWGATE flagship (embed 128, depths (2,2,4), heads (2,4,8))",
             "regime": ("full train augmentation (masked-joint, shear, rotate, "
-                       "temporal resample, flip), AdamW 5e-4 cosine T_max 20 (lr sweep: 1e-3/2e-3 never escape the uniform-logits plateau — tools/largevocab_sweep_r05.md), "
+                       "temporal resample, flip), AdamW 3e-4 single-decay "
+                       "cosine T_max 80, 80 epochs — the diagnosed-safe "
+                       "regime: anything hotter (1e-3/2e-3, or bs 16) never "
+                       "escapes the uniform-logits plateau, and the "
+                       "reference's periodic T_max-20 cosine undoes itself "
+                       "every cycle (tools/largevocab_sweep_r05.md) — "
                        "label-smoothed CE, bf16 compute + bf16 stream, rbg "
                        "PRNG, remat, batch 32, feature-major stream layout "
                        "(TPU default)"),
+            "data": ("SYNTH-2000 v2 (data/synthetic.py): canonical skeleton "
+                     "+ N(0,0.04) per-clip pose variation — intra-class "
+                     "nuisance matched to real normalized pose data; "
+                     "nearest-centroid ceiling 0.971 "
+                     "(tools/largevocab_probe_v2.json)"),
             "hardware": "1x TPU v5e via the axon relay",
         },
         "curve": epochs,
