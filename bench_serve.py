@@ -91,7 +91,8 @@ def main():
     n_cli = int(os.environ.get("SERVE_CLIENTS", "32"))
     max_batch = int(os.environ.get("SERVE_MAX_BATCH", "32"))
     queue = BatchingQueue(pred, max_batch=max_batch,
-                          max_wait_ms=float(os.environ.get("SERVE_MAX_WAIT", "10")))
+                          max_wait_ms=float(os.environ.get("SERVE_MAX_WAIT", "10")),
+                          max_inflight=int(os.environ.get("SERVE_MAX_INFLIGHT", "3")))
     reqs = [clip() for _ in range(n_req)]
     queue.submit(reqs[0]).result()  # warm
 
