@@ -159,6 +159,31 @@ def test_cosine_lr_matches_torch():
         sched.step()
 
 
+def test_t_max_flag_gives_single_decay():
+    """--t-max plumbs through the CLI parser, and t_max=epochs yields a
+    MONOTONE schedule over the whole run — the large-vocab anchor regime
+    (tools/largevocab_sweep_r05.md: the default periodic T_max-20 cosine
+    rises again after each cycle and undoes the previous one)."""
+    import sys
+    from unittest import mock
+
+    from sl_hwgat_tpu.cli import parser
+    from sl_hwgat_tpu.train.state import cosine_annealing_lr
+
+    argv = ["prog", "-d", "SYNTH", "-model", "HWGATE", "-m", "train",
+            "--epochs", "80", "--lr", "3e-4", "--t-max", "80"]
+    with mock.patch.object(sys, "argv", argv):
+        args = parser()
+    assert args.t_max == 80 and args.epochs == 80
+
+    lrs = [float(cosine_annealing_lr(e, args.lr, args.t_max)) for e in range(81)]
+    assert all(a >= b for a, b in zip(lrs, lrs[1:]))  # single decay
+    np.testing.assert_allclose(lrs[-1], 0.0, atol=1e-12)
+
+    periodic = [float(cosine_annealing_lr(e, args.lr, 20)) for e in range(81)]
+    assert any(a < b for a, b in zip(periodic, periodic[1:]))  # rises again
+
+
 def test_grad_accum_matches_full_batch():
     """grad_accum=2 with deterministic (no-dropout/prune) model produces the
     same update as the full-batch step (mean-of-micro-grads == full-batch
